@@ -6,12 +6,21 @@ tests run without a pod via xla_force_host_platform_device_count).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness exports JAX_PLATFORMS=axon (remote TPU tunnel) and a
+# sitecustomize that registers the axon PJRT plugin at interpreter startup —
+# before this file runs — so env vars alone are too late. Force the CPU
+# platform via jax.config after import; XLA_FLAGS still applies because the
+# CPU backend itself has not been initialized yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
