@@ -1,0 +1,141 @@
+"""Top-level differentiable renderer: project -> bin -> Pallas blend -> image.
+
+The public TPU equivalent of the reference viewer's per-frame path
+(gaussians_selection.js:1436-1640): one jitted functional program instead of
+a JS event loop + worker + GL draw call. Returns the rendered image plus the
+label map / alpha channels the editing and labeling layers build on.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.config import Config, DEFAULT, UNLABELED
+from gsplat_tpu.io.cameras import Camera
+from gsplat_tpu.render import blend_pallas, blend_xla
+from gsplat_tpu.render.projection import CameraParams, Projected, project, tile_grid
+from gsplat_tpu.render.tiles import Binning, bin_gaussians, instance_budget
+from gsplat_tpu.scene import GaussianScene
+
+
+def pack_instance_params(
+    proj: Projected,
+    labels: jax.Array,
+    binning: Binning,
+) -> jax.Array:
+    """Gather projected gaussians into the [B_pad, 16] per-instance matrix.
+
+    The gather is plain jnp, so autodiff's transpose (scatter-add over
+    duplicated instances) routes kernel gradients back to per-gaussian
+    parameters for free.
+    """
+    rank = binning.inst_gauss
+    safe = jnp.maximum(rank, 0)
+    oidx = binning.order[safe]
+    validf = (rank >= 0).astype(jnp.float32)
+    cols = [
+        proj.means2d[oidx, 0],
+        proj.means2d[oidx, 1],
+        proj.conic[oidx, 0],
+        proj.conic[oidx, 1],
+        proj.conic[oidx, 2],
+        proj.opacity[oidx],
+        proj.color[oidx, 0],
+        proj.color[oidx, 1],
+        proj.color[oidx, 2],
+        validf,
+        labels[oidx].astype(jnp.float32),
+    ]
+    zeros = jnp.zeros_like(validf)
+    cols += [zeros] * (blend_pallas.PARAM_ROWS - len(cols))
+    return jnp.stack(cols, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "cfg", "with_labels", "impl",
+                     "interpret", "budget"))
+def _render_impl(
+    scene: GaussianScene,
+    cam: CameraParams,
+    background: jax.Array,
+    *,
+    width: int,
+    height: int,
+    cfg: Config,
+    with_labels: bool,
+    impl: str,
+    interpret: bool,
+    budget: int,
+) -> Dict[str, jax.Array]:
+    rc = cfg.raster
+    proj = project(scene, cam, width, height, rc,
+                   z_near=cfg.camera.z_near, z_far=cfg.camera.z_far)
+
+    if impl == "dense":
+        order = jnp.argsort(
+            jnp.where(proj.valid, proj.depth, jnp.inf), stable=True)
+        out = blend_xla.blend_dense(
+            proj, order, width, height, rc,
+            labels=scene.labels if with_labels else None,
+            background=background)
+        out["num_dropped"] = jnp.zeros((), jnp.int32)
+        return out
+
+    tiles_x, tiles_y = tile_grid(width, height, rc.tile_size)
+    binning = bin_gaussians(
+        proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_size=rc.tile_size,
+        chunk=cfg.tiles.chunk, budget=budget)
+    params = pack_instance_params(proj, scene.labels, binning)
+    out_tiles = blend_pallas.blend_chunks(
+        params, binning.chunk_tile, binning.chunk_first,
+        rc.tile_size, tiles_x, tiles_x * tiles_y,
+        rc.alpha_min, rc.alpha_max, with_labels, interpret)
+    img4 = blend_pallas.tiles_to_image(
+        out_tiles[:, 0:4, :], tiles_x, tiles_y, rc.tile_size, width, height)
+    rgb, transmit = img4[..., 0:3], img4[..., 3]
+    image = rgb + transmit[..., None] * background[None, None, :]
+    out = dict(image=image, alpha=1.0 - transmit, transmittance=transmit,
+               num_dropped=binning.num_dropped)
+    if with_labels:
+        lab4 = blend_pallas.tiles_to_image(
+            out_tiles[:, 4:6, :], tiles_x, tiles_y, rc.tile_size, width,
+            height)
+        best_w, labf = lab4[..., 0], lab4[..., 1]
+        out["best_weight"] = best_w
+        out["label_map"] = jnp.where(
+            best_w > 0.0, jnp.round(labf).astype(jnp.int32), UNLABELED)
+    return out
+
+
+def render(
+    scene: GaussianScene,
+    camera: Camera,
+    cfg: Config = DEFAULT,
+    *,
+    background: Optional[jax.Array] = None,
+    with_labels: bool = False,
+    impl: str = "pallas",
+    interpret: Optional[bool] = None,
+    budget: Optional[int] = None,
+) -> Dict[str, jax.Array]:
+    """Render a scene from a camera. impl: 'pallas' (tiled TPU kernels) or
+    'dense' (O(H*W*N) jnp fallback for small scenes / debugging)."""
+    if interpret is None:
+        # 'axon' is the remote-TPU PJRT plugin used by this environment.
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if background is None:
+        background = jnp.asarray(cfg.raster.background, jnp.float32)
+    if budget is None:
+        budget = instance_budget(scene.num_gaussians, cfg.tiles.chunk,
+                                 cfg.tiles.budget_factor)
+    return _render_impl(
+        scene, CameraParams.from_camera(camera),
+        jnp.asarray(background, jnp.float32),
+        width=camera.width, height=camera.height, cfg=cfg,
+        with_labels=with_labels, impl=impl, interpret=interpret,
+        budget=budget)

@@ -1,0 +1,363 @@
+"""Pallas TPU blend kernels: tile-based alpha compositing, forward + backward.
+
+TPU-native replacement for the reference's rasterization core — the GLSL
+vertex/fragment shaders + GPU blend unit (gaussians_selection.js:661-800,
+1033-1038) — plus the analytic backward pass the reference lacks entirely.
+
+Design (see gsplat_tpu/render/tiles.py for the binning that feeds this):
+
+- The instance list is cut into fixed ``CHUNK``-length chunks; grid = one
+  Pallas step per chunk, walked sequentially. ``chunk_tile[k]`` (scalar
+  prefetch) names the owning tile; consecutive chunks of one tile revisit the
+  same output block, which therefore stays resident in VMEM and doubles as
+  the per-pixel carry (premultiplied RGB + transmittance).
+- Per chunk, the Mahalanobis quadratic form for all (gaussian, pixel) pairs
+  is evaluated as ONE MXU matmul: q = G @ F where G[(chunk, 8)] packs the
+  conic/mean-derived polynomial coefficients (in tile-local pixel coords, for
+  f32 stability) and F[(8, P)] the pixel monomials [x^2 y^2 xy x y 1 0 0].
+- Front-to-back compositing inside a chunk is an exclusive cumulative
+  product of (1 - alpha) along the gaussian (sublane) axis — a log2(CHUNK)
+  shift-multiply scan — seeded by the tile's carried transmittance.
+- Backward re-walks the chunks in the same order with the standard
+  suffix-sum trick: S_i = D - prefix_i, where the per-pixel total
+  D = C . dC + T_final . dT comes from the forward residuals, and per-pixel
+  reductions onto gaussians are again MXU matmuls against F. Each chunk
+  writes grads for its own instance rows — no atomics anywhere; the
+  instance->gaussian scatter-add is autodiff's transpose of the outer gather.
+
+Forward output layout: out[T, 8, P] rows = [r, g, b, transmittance,
+best_weight, best_label, unused, unused] (label rows only when
+``with_labels``); P = tile_size^2 pixels, row-major within the tile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Parameter row layout of the packed per-instance matrix [B_pad, 16].
+P_MX, P_MY, P_CA, P_CB, P_CC, P_OP, P_R, P_G, P_B, P_VALID, P_LABEL = range(11)
+PARAM_ROWS = 16
+
+
+def _scan_shift(x: jax.Array, combine, identity: float) -> jax.Array:
+    """Inclusive scan along axis 0 (sublanes) via log2(n) shift-combines."""
+    n = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    k = 1
+    while k < n:
+        sh = pltpu.roll(x, shift=k, axis=0)
+        x = combine(x, jnp.where(row >= k, sh, identity))
+        k *= 2
+    return x
+
+
+def _cumprod_rows(x):
+    return _scan_shift(x, jnp.multiply, 1.0)
+
+
+def _cumsum_rows(x):
+    return _scan_shift(x, jnp.add, 0.0)
+
+
+def _shift_down_one(x: jax.Array, fill: float) -> jax.Array:
+    """y[i] = x[i-1], y[0] = fill (exclusive-scan helper)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row >= 1, pltpu.roll(x, shift=1, axis=0), fill)
+
+
+def _pixel_monomials(tile_size: int) -> jax.Array:
+    """F [(8, P)]: tile-local pixel-center monomials [x2 y2 xy x y 1 0 0]."""
+    p = tile_size * tile_size
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    px = (pid % tile_size).astype(jnp.float32) + 0.5
+    py = (pid // tile_size).astype(jnp.float32) + 0.5
+    one = jnp.ones_like(px)
+    zero = jnp.zeros_like(px)
+    return jnp.concatenate(
+        [px * px, py * py, px * py, px, py, one, zero, zero], axis=0)
+
+
+def _chunk_alphas(params, t, tile_size: int, tiles_x: int,
+                  alpha_min: float, alpha_max: float):
+    """Shared forward math: per-(gaussian, pixel) alphas for one chunk.
+
+    params: [(chunk, 16)] block. Returns (alpha [(chunk, P)], aux dict).
+    """
+    x0 = (t % tiles_x) * tile_size
+    y0 = (t // tiles_x) * tile_size
+    mx = params[:, P_MX:P_MX + 1] - x0.astype(jnp.float32)
+    my = params[:, P_MY:P_MY + 1] - y0.astype(jnp.float32)
+    ca = params[:, P_CA:P_CA + 1]
+    cb = params[:, P_CB:P_CB + 1]
+    cc = params[:, P_CC:P_CC + 1]
+    op = params[:, P_OP:P_OP + 1]
+    validf = params[:, P_VALID:P_VALID + 1]
+
+    zero = jnp.zeros_like(ca)
+    g = jnp.concatenate([
+        ca, cc, 2.0 * cb,
+        -2.0 * ca * mx - 2.0 * cb * my,
+        -2.0 * cc * my - 2.0 * cb * mx,
+        ca * mx * mx + 2.0 * cb * mx * my + cc * my * my,
+        zero, zero], axis=1)                       # (chunk, 8)
+    f = _pixel_monomials(tile_size)                # (8, P)
+    q = jax.lax.dot_general(
+        g, f, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)        # (chunk, P)
+    raw = op * jnp.exp(-0.5 * q) * validf
+    alpha = jnp.minimum(raw, alpha_max)
+    alpha = jnp.where(alpha >= alpha_min, alpha, 0.0)
+    aux = dict(mx=mx, my=my, ca=ca, cb=cb, cc=cc, op=op, f=f, raw=raw)
+    return alpha, aux
+
+
+def _fwd_kernel(chunk_tile, chunk_first, params_ref, out_ref, *,
+                tile_size: int, tiles_x: int, alpha_min: float,
+                alpha_max: float, with_labels: bool):
+    k = pl.program_id(0)
+    t = chunk_tile[k]
+    params = params_ref[...]
+    alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
+                             alpha_max)
+
+    @pl.when(chunk_first[k] == 1)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[0, 3:4, :] = jnp.ones_like(out_ref[0, 3:4, :])
+        if with_labels:
+            out_ref[0, 5:6, :] = jnp.full_like(out_ref[0, 5:6, :], -1.0)
+
+    incl = _cumprod_rows(1.0 - alpha)              # (chunk, P)
+    excl = _shift_down_one(incl, 1.0)
+    t_carry = out_ref[0, 3:4, :]                   # (1, P)
+    w = t_carry * excl * alpha                     # (chunk, P)
+
+    colors = params[:, P_R:P_B + 1]                # (chunk, 3)
+    rgb = jax.lax.dot_general(
+        colors, w, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)        # (3, P)
+    out_ref[0, 0:3, :] += rgb
+    out_ref[0, 3:4, :] = t_carry * incl[-1:, :]
+
+    if with_labels:
+        best_j = jnp.argmax(w, axis=0)[None, :]    # (1, P) first max wins
+        row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+        onehot = (row == best_j).astype(jnp.float32)
+        mw = jnp.max(w, axis=0)[None, :]           # (1, P)
+        labf = params[:, P_LABEL:P_LABEL + 1]      # (chunk, 1)
+        lab_best = jnp.sum(labf * onehot, axis=0)[None, :]
+        better = mw > out_ref[0, 4:5, :]
+        out_ref[0, 4:5, :] = jnp.where(better, mw, out_ref[0, 4:5, :])
+        out_ref[0, 5:6, :] = jnp.where(better, lab_best, out_ref[0, 5:6, :])
+
+
+def _bwd_kernel(chunk_tile, chunk_first, params_ref, grgb_ref, d_ref,
+                dparams_ref, carry_ref, *, tile_size: int, tiles_x: int,
+                alpha_min: float, alpha_max: float):
+    k = pl.program_id(0)
+    t = chunk_tile[k]
+    params = params_ref[...]
+    alpha, aux = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
+                               alpha_max)
+
+    @pl.when(chunk_first[k] == 1)
+    def _init():
+        carry_ref[0:1, :] = jnp.ones_like(carry_ref[0:1, :])   # transmittance
+        carry_ref[1:2, :] = jnp.zeros_like(carry_ref[1:2, :])  # contrib prefix
+
+    incl = _cumprod_rows(1.0 - alpha)
+    excl = _shift_down_one(incl, 1.0)
+    t_carry = carry_ref[0:1, :]
+    t_excl = t_carry * excl
+    w = t_excl * alpha
+
+    grgb = grgb_ref[0, :, :]                       # (3, P)
+    colors = params[:, P_R:P_B + 1]                # (chunk, 3)
+    cg = jax.lax.dot_general(
+        colors, grgb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)        # (chunk, P)
+    contrib = w * cg
+    p_incl = carry_ref[1:2, :] + _cumsum_rows(contrib)
+    s = d_ref[0, :, :] - p_incl                    # (chunk, P) suffix + dT term
+
+    live = alpha > 0.0
+    unclamped = live & (aux["raw"] < alpha_max)
+    dalpha = jnp.where(live, t_excl * cg - s / (1.0 - alpha), 0.0)
+    dq = jnp.where(unclamped, -0.5 * alpha * dalpha, 0.0)
+
+    # per-gaussian pixel moments of dq: (chunk, 8) = dq @ F^T
+    m = jax.lax.dot_general(
+        dq, aux["f"], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    s_xx, s_yy, s_xy = m[:, 0:1], m[:, 1:2], m[:, 2:3]
+    s_x, s_y, s_1 = m[:, 3:4], m[:, 4:5], m[:, 5:6]
+    mx, my = aux["mx"], aux["my"]
+    ca, cb, cc, op = aux["ca"], aux["cb"], aux["cc"], aux["op"]
+
+    cx = s_x - mx * s_1   # sum dq * dx
+    cy = s_y - my * s_1   # sum dq * dy
+    d_ca = s_xx - 2.0 * mx * s_x + mx * mx * s_1
+    d_cc = s_yy - 2.0 * my * s_y + my * my * s_1
+    d_cb = 2.0 * (s_xy - my * s_x - mx * s_y + mx * my * s_1)
+    d_mx = -2.0 * ca * cx - 2.0 * cb * cy
+    d_my = -2.0 * cc * cy - 2.0 * cb * cx
+    d_op = -2.0 * s_1 / jnp.maximum(op, 1e-20)
+
+    d_col = jax.lax.dot_general(
+        w, grgb, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)        # (chunk, 3)
+
+    zero = jnp.zeros_like(d_mx)
+    dparams_ref[...] = jnp.concatenate(
+        [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col, zero, zero, zero, zero,
+         zero, zero, zero], axis=1)
+
+    carry_ref[0:1, :] = t_carry * incl[-1:, :]
+    carry_ref[1:2, :] = p_incl[-1:, :]
+
+
+def _grid_spec(num_chunks, chunk, num_tiles, p, with_labels, *, backward):
+    del num_tiles, with_labels
+    params_spec = pl.BlockSpec(
+        (chunk, PARAM_ROWS), lambda k, ct, cf: (k, 0),
+        memory_space=pltpu.VMEM)
+    if not backward:
+        return pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_chunks,),
+            in_specs=[params_spec],
+            out_specs=pl.BlockSpec(
+                (1, 8, p), lambda k, ct, cf: (ct[k], 0, 0),
+                memory_space=pltpu.VMEM),
+        )
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_chunks,),
+        in_specs=[
+            params_spec,
+            pl.BlockSpec((1, 3, p), lambda k, ct, cf: (ct[k], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda k, ct, cf: (ct[k], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (chunk, PARAM_ROWS), lambda k, ct, cf: (k, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, p), jnp.float32)],
+    )
+
+
+def _blend_fwd_call(params, chunk_tile, chunk_first, *, tile_size, tiles_x,
+                    num_tiles, alpha_min, alpha_max, with_labels, interpret):
+    b_pad = params.shape[0]
+    chunk = b_pad // chunk_tile.shape[0]
+    p = tile_size * tile_size
+    kernel = functools.partial(
+        _fwd_kernel, tile_size=tile_size, tiles_x=tiles_x,
+        alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels)
+    flops_est = 2 * b_pad * p * (8 + 3) + 40 * b_pad * p
+    return pl.pallas_call(
+        kernel,
+        grid_spec=_grid_spec(chunk_tile.shape[0], chunk, num_tiles, p,
+                             with_labels, backward=False),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, p), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_est, bytes_accessed=b_pad * 64 + num_tiles * 32 * p,
+            transcendentals=b_pad * p),
+        interpret=interpret,
+    )(chunk_tile, chunk_first, params)
+
+
+def _blend_bwd_call(params, chunk_tile, chunk_first, grgb, d, *, tile_size,
+                    tiles_x, num_tiles, alpha_min, alpha_max, interpret):
+    b_pad = params.shape[0]
+    chunk = b_pad // chunk_tile.shape[0]
+    p = tile_size * tile_size
+    kernel = functools.partial(
+        _bwd_kernel, tile_size=tile_size, tiles_x=tiles_x,
+        alpha_min=alpha_min, alpha_max=alpha_max)
+    flops_est = 2 * b_pad * p * (8 + 8 + 3) + 60 * b_pad * p
+    return pl.pallas_call(
+        kernel,
+        grid_spec=_grid_spec(chunk_tile.shape[0], chunk, num_tiles, p,
+                             False, backward=True),
+        out_shape=jax.ShapeDtypeStruct((b_pad, PARAM_ROWS), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_est,
+            bytes_accessed=b_pad * 128 + num_tiles * 32 * p,
+            transcendentals=b_pad * p),
+        interpret=interpret,
+    )(chunk_tile, chunk_first, params, grgb, d)
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def blend_chunks(
+    params: jax.Array,       # [B_pad, 16] packed per-instance parameters
+    chunk_tile: jax.Array,   # [K] i32
+    chunk_first: jax.Array,  # [K] i32
+    tile_size: int,
+    tiles_x: int,
+    num_tiles: int,
+    alpha_min: float,
+    alpha_max: float,
+    with_labels: bool,
+    interpret: bool,
+) -> jax.Array:
+    """Differentiable tile compositing. Returns [num_tiles, 8, P]."""
+    return _blend_fwd_call(
+        params, chunk_tile, chunk_first, tile_size=tile_size,
+        tiles_x=tiles_x, num_tiles=num_tiles, alpha_min=alpha_min,
+        alpha_max=alpha_max, with_labels=with_labels, interpret=interpret)
+
+
+def _blend_fwd_rule(params, chunk_tile, chunk_first, tile_size, tiles_x,
+                    num_tiles, alpha_min, alpha_max, with_labels, interpret):
+    out = _blend_fwd_call(
+        params, chunk_tile, chunk_first, tile_size=tile_size,
+        tiles_x=tiles_x, num_tiles=num_tiles, alpha_min=alpha_min,
+        alpha_max=alpha_max, with_labels=with_labels, interpret=interpret)
+    return out, (params, chunk_tile, chunk_first, out)
+
+
+def _blend_bwd_rule(tile_size, tiles_x, num_tiles, alpha_min, alpha_max,
+                    with_labels, interpret, res, g):
+    params, chunk_tile, chunk_first, out = res
+    grgb = g[:, 0:3, :]                                   # [T, 3, P]
+    gt = g[:, 3:4, :]                                     # [T, 1, P]
+    # Per-pixel total D = C . dC + T_final . dT (suffix-sum seed).
+    d = (jnp.sum(out[:, 0:3, :] * grgb, axis=1, keepdims=True)
+         + out[:, 3:4, :] * gt)                           # [T, 1, P]
+    dparams = _blend_bwd_call(
+        params, chunk_tile, chunk_first, grgb, d, tile_size=tile_size,
+        tiles_x=tiles_x, num_tiles=num_tiles, alpha_min=alpha_min,
+        alpha_max=alpha_max, interpret=interpret)
+    zt = np.zeros(chunk_tile.shape, jax.dtypes.float0)
+    zf = np.zeros(chunk_first.shape, jax.dtypes.float0)
+    return dparams, zt, zf
+
+
+blend_chunks.defvjp(_blend_fwd_rule, _blend_bwd_rule)
+
+
+def tiles_to_image(tile_rows: jax.Array, tiles_x: int, tiles_y: int,
+                   tile_size: int, width: int, height: int) -> jax.Array:
+    """[T, C, P] tile rows -> [H, W, C] image (crop padding)."""
+    c = tile_rows.shape[1]
+    img = tile_rows.reshape(tiles_y, tiles_x, c, tile_size, tile_size)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(
+        tiles_y * tile_size, tiles_x * tile_size, c)
+    return img[:height, :width]

@@ -67,7 +67,8 @@ def covariance_3d(log_scales: jax.Array, quats: jax.Array) -> jax.Array:
     """Sigma3 = R diag(exp(2s)) R^T, [N, 3, 3]."""
     rot = quat_to_rotmat(quats)
     s2 = jnp.exp(2.0 * log_scales)
-    return jnp.einsum("nij,nj,nkj->nik", rot, s2, rot)
+    return jnp.einsum("nij,nj,nkj->nik", rot, s2, rot,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def project(
@@ -83,7 +84,9 @@ def project(
 ) -> Projected:
     """Project all gaussians into one camera (fully differentiable)."""
     means = scene.means
-    pc = means @ cam.rot.T + (-cam.rot @ cam.pos)  # [N, 3]
+    hp = jax.lax.Precision.HIGHEST
+    pc = (jnp.einsum("ni,ji->nj", means, cam.rot, precision=hp)
+          + (-cam.rot @ cam.pos))  # [N, 3]
     z = pc[:, 2]
     valid = (z > z_near) & (z < z_far)
     zs = jnp.where(valid, z, 1.0)
@@ -102,9 +105,11 @@ def project(
         - (cam.fx * pc[:, 0] * inv_z2)[:, None] * r2[None, :]
     t1 = (cam.fy * inv_z)[:, None] * r1[None, :] \
         - (cam.fy * pc[:, 1] * inv_z2)[:, None] * r2[None, :]
-    a = jnp.einsum("ni,nij,nj->n", t0, sigma3, t0) + cfg.cov2d_blur
-    b = jnp.einsum("ni,nij,nj->n", t0, sigma3, t1)
-    c = jnp.einsum("ni,nij,nj->n", t1, sigma3, t1) + cfg.cov2d_blur
+    a = jnp.einsum("ni,nij,nj->n", t0, sigma3, t0, precision=hp) \
+        + cfg.cov2d_blur
+    b = jnp.einsum("ni,nij,nj->n", t0, sigma3, t1, precision=hp)
+    c = jnp.einsum("ni,nij,nj->n", t1, sigma3, t1, precision=hp) \
+        + cfg.cov2d_blur
     det = a * c - b * b
     valid &= det > 0
     det_safe = jnp.where(det > 0, det, 1.0)
