@@ -1,0 +1,124 @@
+"""Differentiable splat training: photometric loss + Adam over scene params.
+
+The capability the reference lacks entirely (its rendering is forward-only
+GLSL — SURVEY.md "critical facts"): optimize gaussian parameters against
+target images through the Pallas backward kernels, single-chip or sharded
+over a mesh (gaussians over devices, tile bands per device).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gsplat_tpu.config import Config, DEFAULT
+from gsplat_tpu.parallel.mesh import Mesh
+from gsplat_tpu.parallel.render_sharded import render_sharded
+from gsplat_tpu.render.api import _render_impl
+from gsplat_tpu.render.projection import CameraParams
+from gsplat_tpu.scene import GaussianScene
+
+# Standard 3DGS-style per-parameter learning-rate scaling.
+LR_SCALES = dict(means=1.0, log_scales=0.05, quats=0.01, opacities=0.5,
+                 sh=0.025)
+
+
+class SceneParams(NamedTuple):
+    """Float-only trainable pytree (labels ride outside the optimizer)."""
+
+    means: jax.Array
+    log_scales: jax.Array
+    quats: jax.Array
+    opacities: jax.Array
+    sh: jax.Array
+
+    @classmethod
+    def from_scene(cls, scene: GaussianScene) -> "SceneParams":
+        return cls(scene.means, scene.log_scales, scene.quats,
+                   scene.opacities, scene.sh)
+
+    def to_scene(self, labels: jax.Array) -> GaussianScene:
+        return GaussianScene(self.means, self.log_scales, self.quats,
+                             self.opacities, self.sh, labels)
+
+
+class TrainState(NamedTuple):
+    params: SceneParams
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def scaled_adam(lr: float = 1e-2) -> optax.GradientTransformation:
+    """Adam with per-field lr scaling (LR_SCALES)."""
+    def scale_tree(updates, state, params=None):
+        del params
+        scaled = SceneParams(*[
+            u * LR_SCALES[f] for f, u in zip(SceneParams._fields, updates)])
+        return scaled, state
+    return optax.chain(
+        optax.scale_by_adam(),
+        optax.GradientTransformation(lambda _: optax.EmptyState(), scale_tree),
+        optax.scale(-lr),
+    )
+
+
+def init_state(scene: GaussianScene, lr: float = 1e-2) -> TrainState:
+    params = SceneParams.from_scene(scene)
+    opt = scaled_adam(lr)
+    return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+
+def l2_loss(image: jax.Array, target: jax.Array) -> jax.Array:
+    return 0.5 * jnp.mean((image - target) ** 2)
+
+
+def make_train_step(
+    camera_static: Tuple[int, int],
+    cfg: Config = DEFAULT,
+    *,
+    lr: float = 1e-2,
+    budget: int,
+    mesh: Optional[Mesh] = None,
+    budget_per_device: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Build a jitted train step: (state, labels, cam, target, bg) -> (state, loss).
+
+    With ``mesh``, runs the sharded pipeline (gaussians over devices, tile
+    bands per device, grad reduce-scatter via shard_map autodiff); otherwise
+    the single-device tiled renderer.
+    """
+    width, height = camera_static
+    opt = scaled_adam(lr)
+
+    def loss_fn(params: SceneParams, labels, cam: CameraParams, target, bg):
+        scene = params.to_scene(labels)
+        if mesh is None:
+            out = _render_impl(
+                scene, cam, bg, width=width, height=height, cfg=cfg,
+                with_labels=False, impl="pallas", interpret=interpret,
+                budget=budget)
+            img = out["image"]
+        else:
+            img = render_sharded(
+                scene, cam, mesh, width=width, height=height, cfg=cfg,
+                budget_per_device=budget_per_device or budget,
+                background=bg, interpret=interpret)
+        h = min(img.shape[0], target.shape[0])
+        return l2_loss(img[:h], target[:h])
+
+    @jax.jit
+    def train_step(state: TrainState, labels, cam: CameraParams, target, bg
+                   ) -> Tuple[TrainState, jax.Array]:
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, labels, cam, target, bg)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step

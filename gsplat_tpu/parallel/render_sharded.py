@@ -1,0 +1,139 @@
+"""Sharded rendering: gaussians over all devices, image tile-bands per device.
+
+Dataflow (the TPU-native analogue of SURVEY.md section 2.23/2.24's
+"gaussian-parallelism + tile-parallelism" design):
+
+1. every device projects its gaussian shard (N/D) — pure local compute;
+2. ``all_gather`` of the *compact* projected splats (12 floats each, not the
+   59-float raw parameters) over ('host', 'chip') — the analogue of the
+   reference worker posting packed texture data (gaussians_selection.js:356);
+3. each device bins + blends only its horizontal band of image tiles;
+4. backward: autodiff transposes the all_gather into a reduce-scatter
+   (psum_scatter) of per-gaussian gradients back to their owner shards —
+   the overlapped gradient exchange of the north-star design — and the
+   Pallas blend VJP runs per band.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from gsplat_tpu.config import Config
+from gsplat_tpu.parallel.mesh import AXES, Mesh
+from gsplat_tpu.render import blend_pallas
+from gsplat_tpu.render.api import pack_instance_params
+from gsplat_tpu.render.projection import (CameraParams, Projected, project,
+                                          tile_grid)
+from gsplat_tpu.render.tiles import bin_gaussians
+from gsplat_tpu.scene import GaussianScene
+
+COMPACT_COLS = 13  # u v ca cb cc depth radius r g b opacity valid label
+
+
+def _pack_compact(proj: Projected, labels: jax.Array) -> jax.Array:
+    return jnp.stack([
+        proj.means2d[:, 0], proj.means2d[:, 1],
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        proj.depth, proj.radius,
+        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        proj.opacity, proj.valid.astype(jnp.float32),
+        labels.astype(jnp.float32),
+    ], axis=1)
+
+
+def _unpack_compact(c: jax.Array) -> Projected:
+    return Projected(
+        means2d=c[:, 0:2], conic=c[:, 2:5], depth=c[:, 5], radius=c[:, 6],
+        color=c[:, 7:10], opacity=c[:, 10], valid=c[:, 11] > 0.5)
+
+
+def band_layout(width: int, height: int, tile_size: int, num_devices: int):
+    """Split the tile rows into one band per device (pad to divide)."""
+    tiles_x, tiles_y = tile_grid(width, height, tile_size)
+    tiles_y_pad = -(-tiles_y // num_devices) * num_devices
+    band_ty = tiles_y_pad // num_devices
+    return tiles_x, tiles_y_pad, band_ty, band_ty * tile_size
+
+
+def render_sharded(
+    scene: GaussianScene,
+    cam: CameraParams,
+    mesh: Mesh,
+    *,
+    width: int,
+    height: int,
+    cfg: Config,
+    budget_per_device: int,
+    background: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Render over the mesh. Returns [H_pad, W, 3] sharded row-bands; crop
+    to ``height`` for the final image (H_pad = ceil-div padded tiles)."""
+    rc = cfg.raster
+    ts = rc.tile_size
+    d = mesh.devices.size
+    tiles_x, _, band_ty, band_h = band_layout(width, height, ts, d)
+    if background is None:
+        background = jnp.asarray(rc.background, jnp.float32)
+
+    def shard_fn(scene_shard: GaussianScene, bg: jax.Array) -> jax.Array:
+        proj = project(scene_shard, cam, width, height, rc,
+                       z_near=cfg.camera.z_near, z_far=cfg.camera.z_far)
+        compact = _pack_compact(proj, scene_shard.labels)
+        full = jax.lax.all_gather(compact, AXES, axis=0, tiled=True)
+        projf = _unpack_compact(full)
+        labelsf = full[:, 12].astype(jnp.int32)
+
+        dev = jax.lax.axis_index(AXES)
+        y_off = (dev * band_h).astype(jnp.float32)
+        projf = projf._replace(
+            means2d=projf.means2d - jnp.stack(
+                [jnp.zeros_like(y_off), y_off])[None, :])
+
+        binning = bin_gaussians(
+            projf, tiles_x=tiles_x, tiles_y=band_ty, tile_size=ts,
+            chunk=cfg.tiles.chunk, budget=budget_per_device)
+        params = pack_instance_params(projf, labelsf, binning)
+        out_tiles = blend_pallas.blend_chunks(
+            params, binning.chunk_tile, binning.chunk_first,
+            ts, tiles_x, tiles_x * band_ty,
+            rc.alpha_min, rc.alpha_max, False, interpret)
+        img4 = blend_pallas.tiles_to_image(
+            out_tiles[:, 0:4, :], tiles_x, band_ty, ts, width, band_h)
+        rgb, transmit = img4[..., 0:3], img4[..., 3]
+        return rgb + transmit[..., None] * bg[None, None, :]
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(AXES), P()),
+        out_specs=P(AXES, None, None),
+        check_vma=False)
+    return fn(scene, background)
+
+
+def make_sharded_render_fn(
+    mesh: Mesh,
+    *,
+    width: int,
+    height: int,
+    cfg: Config,
+    budget_per_device: int,
+    interpret: bool = False,
+):
+    """jit-compiled closure over the static configuration."""
+
+    @jax.jit
+    def fn(scene: GaussianScene, cam: CameraParams,
+           background: jax.Array) -> jax.Array:
+        return render_sharded(
+            scene, cam, mesh, width=width, height=height, cfg=cfg,
+            budget_per_device=budget_per_device, background=background,
+            interpret=interpret)
+
+    return fn

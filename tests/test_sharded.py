@@ -1,0 +1,102 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu.config import Config
+from gsplat_tpu.io.cameras import look_at_camera
+from gsplat_tpu.io.synthetic import random_scene
+from gsplat_tpu.models import trainer
+from gsplat_tpu.parallel import mesh as mesh_lib
+from gsplat_tpu.parallel.render_sharded import render_sharded
+from gsplat_tpu.render.api import render
+from gsplat_tpu.render.projection import CameraParams
+
+CFG = Config()
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() == 8, "conftest must force 8 cpu devices"
+    return mesh_lib.make_mesh((2, 4))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return random_scene(256, seed=31, num_labels=4)
+
+
+@pytest.fixture(scope="module")
+def camera():
+    return look_at_camera((0.1, 0.2, -3.0), (0, 0, 0), width=64, height=64)
+
+
+def test_sharded_matches_single_device(mesh, scene, camera):
+    sharded = mesh_lib.shard_scene(scene, mesh)
+    img = render_sharded(
+        sharded, CameraParams.from_camera(camera), mesh,
+        width=camera.width, height=camera.height, cfg=CFG,
+        budget_per_device=4096, interpret=True)
+    img = np.asarray(img)[:camera.height]
+    ref = np.asarray(render(scene, camera, CFG)["image"])
+    err = np.abs(img - ref)
+    # band-local coordinate shifts can flip an alpha_min threshold by 1 ulp
+    # for isolated (pixel, gaussian) pairs; bound that, require tiny median
+    assert err.max() < 5e-3, f"max err {err.max()}"
+    assert np.median(err) < 1e-6
+
+
+def test_scene_padding_is_invisible(mesh, camera):
+    scene = random_scene(250, seed=33)  # 250 % 8 != 0 -> padded to 256
+    sharded = mesh_lib.shard_scene(scene, mesh)
+    assert sharded.means.shape[0] == 256
+    img = render_sharded(
+        sharded, CameraParams.from_camera(camera), mesh,
+        width=camera.width, height=camera.height, cfg=CFG,
+        budget_per_device=4096, interpret=True)
+    ref = np.asarray(render(scene, camera, CFG)["image"])
+    assert np.abs(np.asarray(img)[:camera.height] - ref).max() < 5e-3
+
+
+def test_sharded_train_step_decreases_loss(mesh, camera):
+    scene = random_scene(64, seed=35)
+    target = np.asarray(render(scene, camera, CFG)["image"])
+    # perturb the scene and train back toward the target
+    import dataclasses
+    rng = np.random.default_rng(0)
+    pert = dataclasses.replace(
+        scene, means=scene.means + 0.05 * rng.normal(
+            size=scene.means.shape).astype(np.float32))
+    sharded = mesh_lib.shard_scene(pert, mesh)
+
+    step = trainer.make_train_step(
+        (camera.width, camera.height), CFG, lr=2e-3, budget=2048,
+        mesh=mesh, budget_per_device=2048, interpret=True)
+    state = trainer.init_state(sharded, lr=2e-3)
+    cam = CameraParams.from_camera(camera)
+    tgt = jnp.asarray(target)
+    bg = jnp.zeros(3, jnp.float32)
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, sharded.labels, cam, tgt, bg)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_single_device_train_step(camera):
+    scene = random_scene(64, seed=37)
+    target = np.asarray(render(scene, camera, CFG)["image"])
+    step = trainer.make_train_step(
+        (camera.width, camera.height), CFG, lr=1e-3, budget=2048,
+        interpret=True)
+    state = trainer.init_state(scene)
+    cam = CameraParams.from_camera(camera)
+    state, loss0 = step(state, scene.labels, cam, jnp.asarray(target),
+                        jnp.zeros(3))
+    for _ in range(4):
+        state, loss = step(state, scene.labels, cam, jnp.asarray(target),
+                           jnp.zeros(3))
+    assert float(loss) <= float(loss0)
