@@ -137,9 +137,18 @@ def project_np(
     det = np.where(det > 0, det, 1.0)
     conic = np.stack([c / det, -b / det, a / det], axis=-1)
 
+    opacity = 1.0 / (1.0 + np.exp(-s.opacities.astype(np.float64)))
+
     mid = 0.5 * (a + c)
     lam1 = mid + np.sqrt(np.maximum(mid * mid - det, 0.0))
-    radius = cfg.sigma_cutoff * np.sqrt(np.maximum(lam1, 0.0))
+    # Opacity-aware cutoff (matches render/projection.py): alpha >= alpha_min
+    # is impossible beyond sqrt(2 ln(opacity/alpha_min)) sigmas, so shrinking
+    # the bbox there cannot change the image.
+    cutoff = np.minimum(
+        np.sqrt(2.0 * np.log(np.maximum(opacity / cfg.alpha_min, 1.0))),
+        cfg.sigma_cutoff)
+    radius = cutoff * np.sqrt(np.maximum(lam1, 0.0))
+    valid &= opacity >= cfg.alpha_min
 
     # off-screen cull: 3.33-sigma box does not intersect the image rect
     valid &= (u + radius > 0) & (u - radius < camera.width)
@@ -149,7 +158,6 @@ def project_np(
     norm = np.linalg.norm(view_dir, axis=-1, keepdims=True)
     view_dir = view_dir / np.maximum(norm, 1e-12)
     color = eval_sh(s.sh.astype(np.float64), view_dir)
-    opacity = 1.0 / (1.0 + np.exp(-s.opacities.astype(np.float64)))
 
     return dict(means2d=means2d, conic=conic,
                 cov2d=np.stack([a, b, c], axis=-1), depth=z, radius=radius,

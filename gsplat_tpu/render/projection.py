@@ -115,9 +115,19 @@ def project(
     det_safe = jnp.where(det > 0, det, 1.0)
     conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
 
+    opacity = jax.nn.sigmoid(scene.opacities)
+
     mid = 0.5 * (a + c)
     lam1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det_safe, 0.0))
-    radius = cfg.sigma_cutoff * jnp.sqrt(jnp.maximum(lam1, 0.0))
+    # Opacity-aware cutoff: alpha >= alpha_min is impossible beyond
+    # sqrt(2 ln(opacity/alpha_min)) sigmas, so the bound is exact w.r.t. the
+    # alpha_min masking semantics (the oracle's fixed 3.33-sigma box is a
+    # superset). Low-opacity splats shrink; opacity < alpha_min culls.
+    cutoff = jnp.sqrt(2.0 * jnp.log(
+        jnp.maximum(opacity / cfg.alpha_min, 1.0)))
+    cutoff = jnp.minimum(cutoff, cfg.sigma_cutoff)
+    radius = cutoff * jnp.sqrt(jnp.maximum(lam1, 0.0))
+    valid &= opacity >= cfg.alpha_min
 
     valid &= (u + radius > 0) & (u - radius < width)
     valid &= (v + radius > 0) & (v - radius < height)
@@ -126,7 +136,6 @@ def project(
     view_dir = view_dir / jnp.maximum(
         jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-12)
     color = eval_sh(scene.sh, view_dir, degree=sh_degree)
-    opacity = jax.nn.sigmoid(scene.opacities)
 
     return Projected(means2d=means2d, conic=conic, depth=z, radius=radius,
                      color=color, opacity=opacity, valid=valid)
