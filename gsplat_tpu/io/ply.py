@@ -136,8 +136,22 @@ def _fmt_ascii(v) -> str:
 _REST_RE = re.compile(r"^f_rest_(\d+)$")
 
 
-def scene_from_ply(path_or_bytes: Union[str, bytes]) -> GaussianScene:
-    """Parse a gaussian PLY (schema of gaussians_selection.js:491-579)."""
+def scene_from_ply(path_or_bytes: Union[str, bytes],
+                   use_native: bool = True) -> GaussianScene:
+    """Parse a gaussian PLY (schema of gaussians_selection.js:491-579).
+
+    Tries the multithreaded C++ codec first (~40x faster on million-gaussian
+    binary scenes); falls back to the generic NumPy reader for ascii /
+    nonstandard layouts or when the native library is unavailable.
+    """
+    if use_native:
+        try:
+            from gsplat_tpu.io import native
+            scene = native.scene_from_ply_native(path_or_bytes)
+            if scene is not None:
+                return scene
+        except Exception:
+            pass
     v = read_ply(path_or_bytes)["vertex"]
     names = set(v.dtype.names)
     n = len(v)
