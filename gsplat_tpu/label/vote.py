@@ -108,9 +108,15 @@ def assign_labels(
     num_classes: int = 151,
     mesh: Optional[Mesh] = None,
     return_votes: bool = False,
+    initial_votes=None,
 ):
     """Majority-vote labels for every gaussian (jitted; optionally sharded:
-    views over 'host', gaussians over 'chip')."""
+    views over 'host', gaussians over 'chip').
+
+    ``initial_votes`` resumes a partial sweep (see
+    gsplat_tpu.utils.checkpoint.VoteCheckpoint): pass the saved histogram
+    and only the remaining cameras/seg_maps.
+    """
     cams = {k: jnp.asarray(v) for k, v in camera_batch(cameras).items()}
     seg = jnp.asarray(seg_maps, jnp.int32)
     means = jnp.asarray(scene.means)
@@ -118,6 +124,8 @@ def assign_labels(
     if mesh is None:
         votes = jax.jit(
             lambda m, c, s: _vote_scan(m, c, s, num_classes))(means, cams, seg)
+        if initial_votes is not None:
+            votes = votes + jnp.asarray(initial_votes, votes.dtype)
     else:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -145,6 +153,8 @@ def assign_labels(
             in_specs=(P(AXIS_CHIP), P(AXIS_HOST), P(AXIS_HOST)),
             out_specs=P(AXIS_CHIP), check_vma=False,
         )(means, cams, seg)
+        if initial_votes is not None:
+            votes = votes + jnp.asarray(initial_votes, votes.dtype)
 
     labels = votes_to_labels(votes)
     if return_votes:

@@ -85,7 +85,7 @@ def make_train_step(
     budget: int,
     mesh: Optional[Mesh] = None,
     budget_per_device: Optional[int] = None,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ):
     """Build a jitted train step: (state, labels, cam, target, bg) -> (state, loss).
 
@@ -94,6 +94,8 @@ def make_train_step(
     the single-device tiled renderer.
     """
     width, height = camera_static
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     opt = scaled_adam(lr)
 
     def loss_fn(params: SceneParams, labels, cam: CameraParams, target, bg):

@@ -1,0 +1,68 @@
+"""Checkpoint/resume + profiling harness tests."""
+
+import numpy as np
+import pytest
+
+from gsplat_tpu.io.cameras import orbit_cameras
+from gsplat_tpu.io.synthetic import random_scene
+from gsplat_tpu.label import vote
+from gsplat_tpu.models import trainer
+from gsplat_tpu.utils import checkpoint as ckpt
+
+
+def test_trainstate_roundtrip(tmp_path):
+    scene = random_scene(32, seed=61)
+    state = trainer.init_state(scene)
+    p = str(tmp_path / "state")
+    ckpt.save_pytree(p, state)
+    back = ckpt.restore_pytree(p, like=state)
+    np.testing.assert_array_equal(np.asarray(back.params.means),
+                                  np.asarray(state.params.means))
+    assert int(back.step) == 0
+
+
+def test_vote_resume_matches_full_sweep(tmp_path):
+    scene = random_scene(60, seed=62)
+    cams = orbit_cameras(6, radius=3.0, width=48, img_height=32)
+    rng = np.random.default_rng(0)
+    seg = rng.integers(-1, 4, size=(6, 32, 48)).astype(np.int32)
+
+    full, votes_full = vote.assign_labels(scene, cams, seg, num_classes=5,
+                                          return_votes=True)
+
+    # first half, checkpoint, resume with second half
+    _, votes_a = vote.assign_labels(scene, cams[:3], seg[:3], num_classes=5,
+                                    return_votes=True)
+    vc = ckpt.VoteCheckpoint(str(tmp_path))
+    vc.save(votes_a, next_view=3)
+    saved, next_view = vc.load()
+    assert next_view == 3
+    resumed, votes_b = vote.assign_labels(
+        scene, cams[next_view:], seg[next_view:], num_classes=5,
+        return_votes=True, initial_votes=saved)
+    np.testing.assert_array_equal(np.asarray(votes_b), np.asarray(votes_full))
+    np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))
+
+
+def test_vote_checkpoint_empty(tmp_path):
+    vc = ckpt.VoteCheckpoint(str(tmp_path / "none"))
+    votes, nv = vc.load()
+    assert votes is None and nv == 0
+
+
+def test_device_timer_runs():
+    import jax.numpy as jnp
+
+    from gsplat_tpu.utils.profiling import Throughput, device_timer
+
+    x = jnp.arange(1024.0)
+
+    def step(a, c):
+        return jnp.sum(a * a) * 1e-30 + c * 1e-30
+
+    dt = device_timer(step, (x,), iters=3)
+    assert dt > 0
+    tp = Throughput()
+    rec = tp.record("step", dt, pixels=1024)
+    assert rec["mpix_per_s"] > 0
+    assert "step" in tp.report()
