@@ -39,7 +39,7 @@ class RasterConfig:
     u8 quantization (gaussians_selection.js:549-576) is an export detail.
     """
 
-    tile_size: int = 16
+    tile_size: int = 32
     # Minimum alpha for a gaussian to contribute to a pixel. 1/255 matches the
     # quantization floor of the reference's u8 alpha path.
     alpha_min: float = 1.0 / 255.0
