@@ -106,13 +106,15 @@ def main() -> None:
     print(f"compile: {compile_s:.1f}s dropped={int(out['num_dropped'])}",
           file=sys.stderr)
 
-    t0 = time.time()
-    float(run(scene, args.iters + 1))
-    dt_n = time.time() - t0
-    t0 = time.time()
-    float(run(scene, 1))
-    dt_1 = time.time() - t0
-    dt = (dt_n - dt_1) / args.iters
+    def timed(n):
+        t0 = time.time()
+        float(run(scene, n))
+        return time.time() - t0
+
+    # remote-tunnel RTT jitters by tens of ms; use min-of-2 for both points
+    dt_n = min(timed(args.iters + 1), timed(args.iters + 1))
+    dt_1 = min(timed(1), timed(1))
+    dt = max((dt_n - dt_1) / args.iters, 1e-6)
     mpix = args.width * args.height / dt / 1e6
 
     mode = "fwd" if args.forward_only else "fwd+bwd"

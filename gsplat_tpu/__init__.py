@@ -8,6 +8,20 @@ camera rigs, k-means / region-growing clustering, and IoU evaluation — sharded
 over device meshes (gaussians over chips, image tiles over hosts).
 """
 
+import os as _os
+
+# Environments with an early-registering PJRT plugin (the axon remote-TPU
+# sitecustomize here) can override the JAX_PLATFORMS env var before user
+# code runs; re-assert the user's explicit choice so
+# ``JAX_PLATFORMS=cpu python ...`` behaves as documented.
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from gsplat_tpu.config import Config, DEFAULT, NO_SELECTION, SH_C0, UNLABELED
 from gsplat_tpu.scene import GaussianScene
 

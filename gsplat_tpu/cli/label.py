@@ -35,6 +35,12 @@ def main(argv=None) -> int:
                          "voting (default: first map's resolution)")
     ap.add_argument("--sharded", action="store_true",
                     help="shard views/gaussians over all devices")
+    ap.add_argument("--mode", default="center",
+                    choices=["center", "visible"],
+                    help="'center' = reference-parity center projection; "
+                         "'visible' = occlusion-aware (gaussians only vote "
+                         "in views where they visibly contribute)")
+    ap.add_argument("--visibility_threshold", type=float, default=0.05)
     ap.add_argument("--id2label_json", default=None,
                     help="class-name map for the statistics printout "
                          "(e.g. ade20k-id2label.json)")
@@ -97,9 +103,15 @@ def main(argv=None) -> int:
         from gsplat_tpu.parallel.mesh import make_mesh
         mesh = make_mesh()
 
-    labels = np.asarray(vote.assign_labels(
-        scene, used_cams, np.stack(seg_maps),
-        num_classes=args.num_classes, mesh=mesh))
+    if args.mode == "visible":
+        labels = np.asarray(vote.assign_labels_visible(
+            scene, used_cams, np.stack(seg_maps),
+            num_classes=args.num_classes,
+            visibility_threshold=args.visibility_threshold))
+    else:
+        labels = np.asarray(vote.assign_labels(
+            scene, used_cams, np.stack(seg_maps),
+            num_classes=args.num_classes, mesh=mesh))
 
     out_path = os.path.join(args.output_dir, args.output_file)
     ply.add_labels_to_ply(args.ply_file, out_path, labels)

@@ -53,9 +53,10 @@ class RasterConfig:
     # Low-pass dilation added to the 2D covariance diagonal (anti-aliasing;
     # ensures every splat covers >= ~1px). 0.3 is the standard 3DGS value.
     cov2d_blur: float = 0.3
-    # Transmittance below this is treated as fully saturated (early-stop level
-    # used only by the `early_stop` fast path; exact semantics keep blending).
-    transmit_eps: float = 1e-4
+    # Early-termination level: once a whole tile's transmittance is below
+    # this, remaining chunks are skipped in both kernels (image error bound
+    # <= this value per channel). 0.0 = exact mode (no skipping).
+    early_stop_eps: float = 1e-5
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
 

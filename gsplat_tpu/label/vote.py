@@ -162,6 +162,58 @@ def assign_labels(
     return labels
 
 
+def assign_labels_visible(
+    scene: GaussianScene,
+    cameras: Sequence[Camera],
+    seg_maps: np.ndarray,
+    *,
+    num_classes: int = 151,
+    visibility_threshold: float = 0.05,
+    return_votes: bool = False,
+    cfg=None,
+):
+    """Occlusion-aware majority vote (capability beyond the reference).
+
+    The reference's center-projection vote (deep_learning_segmentation.py)
+    lets OCCLUDED gaussians vote with the occluder's pixel label. Here each
+    view is rendered through the tile pipeline and a gaussian only votes
+    when its max per-pixel blend weight exceeds ``visibility_threshold`` —
+    i.e. when it visibly contributes to that view.
+    """
+    import jax
+
+    from gsplat_tpu.config import DEFAULT
+    from gsplat_tpu.render.api import render
+
+    cfg = cfg or DEFAULT
+    n = scene.num_gaussians
+    votes = jnp.zeros((n, num_classes + 1), jnp.int32)
+    cams = camera_batch(cameras)
+    means = jnp.asarray(scene.means)
+    for v, cam in enumerate(cameras):
+        out = render(scene, cam, cfg, impl="pallas_vis")
+        visible = out["gaussian_weight"] >= visibility_threshold
+        u, vv, vis = project_centers(
+            means,
+            jnp.asarray(cams["rot"][v])[None], jnp.asarray(cams["pos"][v])[None],
+            jnp.asarray(cams["fx"][v])[None], jnp.asarray(cams["fy"][v])[None],
+            jnp.asarray(cams["width"][v])[None],
+            jnp.asarray(cams["height"][v])[None])
+        u, vv, vis = u[0], vv[0], vis[0] & visible
+        seg = jnp.asarray(seg_maps[v], jnp.int32)
+        sh, sw = seg.shape
+        xs = jnp.clip((u * (sw / cam.width)).astype(jnp.int32), 0, sw - 1)
+        ys = jnp.clip((vv * (sh / cam.height)).astype(jnp.int32), 0, sh - 1)
+        lab = jnp.clip(seg[ys, xs] + 1, 0, num_classes)
+        votes = votes + jnp.where(
+            vis[:, None], jax.nn.one_hot(lab, num_classes + 1,
+                                         dtype=votes.dtype), 0)
+    labels = votes_to_labels(votes)
+    if return_votes:
+        return labels, votes
+    return labels
+
+
 def label_statistics(labels: np.ndarray,
                      id2label: Optional[Dict[int, str]] = None) -> List[str]:
     """Per-label count/percentage lines (deep_learning_segmentation.py:363-371)."""

@@ -103,7 +103,8 @@ def render_sharded(
         out_tiles = blend_pallas.blend_chunks(
             params, binning.chunk_tile, binning.chunk_first,
             ts, tiles_x, tiles_x * band_ty,
-            rc.alpha_min, rc.alpha_max, False, interpret)
+            rc.alpha_min, rc.alpha_max, False, interpret,
+            rc.early_stop_eps)
         img4 = blend_pallas.tiles_to_image(
             out_tiles[:, 0:4, :], tiles_x, band_ty, ts, width, band_h)
         rgb, transmit = img4[..., 0:3], img4[..., 3]

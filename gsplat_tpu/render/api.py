@@ -91,7 +91,8 @@ def _render_impl(
     out_tiles = blend_pallas.blend_chunks(
         params, binning.chunk_tile, binning.chunk_first,
         rc.tile_size, tiles_x, tiles_x * tiles_y,
-        rc.alpha_min, rc.alpha_max, with_labels, interpret)
+        rc.alpha_min, rc.alpha_max, with_labels, interpret,
+        rc.early_stop_eps)
     img4 = blend_pallas.tiles_to_image(
         out_tiles[:, 0:4, :], tiles_x, tiles_y, rc.tile_size, width, height)
     rgb, transmit = img4[..., 0:3], img4[..., 3]
@@ -106,6 +107,59 @@ def _render_impl(
         out["best_weight"] = best_w
         out["label_map"] = jnp.where(
             best_w > 0.0, jnp.round(labf).astype(jnp.int32), UNLABELED)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "cfg", "with_labels", "interpret",
+                     "budget"))
+def _render_vis_impl(
+    scene: GaussianScene,
+    cam: CameraParams,
+    background: jax.Array,
+    *,
+    width: int,
+    height: int,
+    cfg: Config,
+    with_labels: bool,
+    interpret: bool,
+    budget: int,
+) -> Dict[str, jax.Array]:
+    """Forward render that also returns per-gaussian visibility weights
+    (max blend weight over any pixel) — evidence for occlusion-aware
+    labeling. Not differentiable."""
+    rc = cfg.raster
+    proj = project(scene, cam, width, height, rc,
+                   z_near=cfg.camera.z_near, z_far=cfg.camera.z_far)
+    tiles_x, tiles_y = tile_grid(width, height, rc.tile_size)
+    binning = bin_gaussians(
+        proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_size=rc.tile_size,
+        chunk=cfg.tiles.chunk, budget=budget)
+    params = pack_instance_params(proj, scene.labels, binning)
+    out_tiles, inst_w = blend_pallas.blend_chunks_vis(
+        params, binning.chunk_tile, binning.chunk_first,
+        rc.tile_size, tiles_x, tiles_x * tiles_y,
+        rc.alpha_min, rc.alpha_max, with_labels, interpret)
+    rank = binning.inst_gauss
+    oidx = binning.order[jnp.maximum(rank, 0)]
+    w = jnp.where(rank >= 0, inst_w[:, 0], 0.0)
+    gw = jnp.zeros((scene.num_gaussians,), jnp.float32).at[oidx].max(w)
+
+    img4 = blend_pallas.tiles_to_image(
+        out_tiles[:, 0:4, :], tiles_x, tiles_y, rc.tile_size, width, height)
+    rgb, transmit = img4[..., 0:3], img4[..., 3]
+    out = dict(image=rgb + transmit[..., None] * background[None, None, :],
+               alpha=1.0 - transmit, transmittance=transmit,
+               gaussian_weight=gw, num_dropped=binning.num_dropped)
+    if with_labels:
+        lab4 = blend_pallas.tiles_to_image(
+            out_tiles[:, 4:6, :], tiles_x, tiles_y, rc.tile_size, width,
+            height)
+        out["best_weight"] = lab4[..., 0]
+        out["label_map"] = jnp.where(
+            lab4[..., 0] > 0.0, jnp.round(lab4[..., 1]).astype(jnp.int32),
+            UNLABELED)
     return out
 
 
@@ -148,6 +202,12 @@ def render(
                 proj, tiles_x=tx, tiles_y=ty,
                 tile_size=cfg.raster.tile_size))
             budget = bucket_budget(cnt, cfg.tiles.chunk)
+    if impl == "pallas_vis":
+        return _render_vis_impl(
+            scene, CameraParams.from_camera(camera),
+            jnp.asarray(background, jnp.float32),
+            width=camera.width, height=camera.height, cfg=cfg,
+            with_labels=with_labels, interpret=interpret, budget=budget)
     return _render_impl(
         scene, CameraParams.from_camera(camera),
         jnp.asarray(background, jnp.float32),

@@ -121,7 +121,60 @@ def _chunk_alphas(params, t, tile_size: int, tiles_x: int,
 
 def _fwd_kernel(chunk_tile, chunk_first, params_ref, out_ref, *,
                 tile_size: int, tiles_x: int, alpha_min: float,
-                alpha_max: float, with_labels: bool):
+                alpha_max: float, with_labels: bool, early_eps: float):
+    k = pl.program_id(0)
+    t = chunk_tile[k]
+
+    @pl.when(chunk_first[k] == 1)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[0, 3:4, :] = jnp.ones_like(out_ref[0, 3:4, :])
+        if with_labels:
+            out_ref[0, 5:6, :] = jnp.full_like(out_ref[0, 5:6, :], -1.0)
+
+    t_carry = out_ref[0, 3:4, :]                   # (1, P)
+    # Early termination: once every pixel in the tile is saturated
+    # (transmittance < early_eps) remaining chunks change the image by
+    # < early_eps and are skipped. early_eps=0 disables (exact mode).
+    live = jnp.max(t_carry) >= early_eps if early_eps > 0 else True
+
+    @pl.when(live)
+    def _compute():
+        params = params_ref[...]
+        alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
+                                 alpha_max)
+        incl = _cumprod_rows(1.0 - alpha)          # (chunk, P)
+        excl = _shift_down_one(incl, 1.0)
+        w = t_carry * excl * alpha                 # (chunk, P)
+
+        colors = params[:, P_R:P_B + 1]            # (chunk, 3)
+        rgb = jax.lax.dot_general(
+            colors, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)    # (3, P)
+        out_ref[0, 0:3, :] += rgb
+        out_ref[0, 3:4, :] = t_carry * incl[-1:, :]
+
+        if with_labels:
+            best_j = jnp.argmax(w, axis=0)[None, :]  # first max wins
+            row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+            onehot = (row == best_j).astype(jnp.float32)
+            mw = jnp.max(w, axis=0)[None, :]       # (1, P)
+            labf = params[:, P_LABEL:P_LABEL + 1]  # (chunk, 1)
+            lab_best = jnp.sum(labf * onehot, axis=0)[None, :]
+            better = mw > out_ref[0, 4:5, :]
+            out_ref[0, 4:5, :] = jnp.where(better, mw, out_ref[0, 4:5, :])
+            out_ref[0, 5:6, :] = jnp.where(better, lab_best,
+                                           out_ref[0, 5:6, :])
+
+
+def _fwd_vis_kernel(chunk_tile, chunk_first, params_ref, out_ref, w_ref, *,
+                    tile_size: int, tiles_x: int, alpha_min: float,
+                    alpha_max: float, with_labels: bool):
+    """Forward blend that additionally records, per instance, the max blend
+    weight over the tile's pixels — per-gaussian visibility evidence for the
+    occlusion-aware vote (capability the reference's center-projection
+    labeler lacks: deep_learning_segmentation.py votes through occluders)."""
     k = pl.program_id(0)
     t = chunk_tile[k]
     params = params_ref[...]
@@ -135,44 +188,102 @@ def _fwd_kernel(chunk_tile, chunk_first, params_ref, out_ref, *,
         if with_labels:
             out_ref[0, 5:6, :] = jnp.full_like(out_ref[0, 5:6, :], -1.0)
 
-    incl = _cumprod_rows(1.0 - alpha)              # (chunk, P)
+    incl = _cumprod_rows(1.0 - alpha)
     excl = _shift_down_one(incl, 1.0)
-    t_carry = out_ref[0, 3:4, :]                   # (1, P)
+    t_carry = out_ref[0, 3:4, :]
     w = t_carry * excl * alpha                     # (chunk, P)
 
-    colors = params[:, P_R:P_B + 1]                # (chunk, 3)
+    colors = params[:, P_R:P_B + 1]
     rgb = jax.lax.dot_general(
         colors, w, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)        # (3, P)
+        precision=jax.lax.Precision.HIGHEST)
     out_ref[0, 0:3, :] += rgb
     out_ref[0, 3:4, :] = t_carry * incl[-1:, :]
-
     if with_labels:
-        best_j = jnp.argmax(w, axis=0)[None, :]    # (1, P) first max wins
+        best_j = jnp.argmax(w, axis=0)[None, :]
         row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
         onehot = (row == best_j).astype(jnp.float32)
-        mw = jnp.max(w, axis=0)[None, :]           # (1, P)
-        labf = params[:, P_LABEL:P_LABEL + 1]      # (chunk, 1)
+        mw = jnp.max(w, axis=0)[None, :]
+        labf = params[:, P_LABEL:P_LABEL + 1]
         lab_best = jnp.sum(labf * onehot, axis=0)[None, :]
         better = mw > out_ref[0, 4:5, :]
         out_ref[0, 4:5, :] = jnp.where(better, mw, out_ref[0, 4:5, :])
         out_ref[0, 5:6, :] = jnp.where(better, lab_best, out_ref[0, 5:6, :])
 
+    wmax = jnp.max(w, axis=1, keepdims=True)       # (chunk, 1)
+    w_ref[...] = jnp.broadcast_to(wmax, w_ref.shape)
+
+
+def blend_chunks_vis(params, chunk_tile, chunk_first, tile_size, tiles_x,
+                     num_tiles, alpha_min, alpha_max, with_labels,
+                     interpret):
+    """Forward blend returning (tiles [T, 8, P], inst_weight [B_pad, 8]).
+
+    ``inst_weight[:, 0]`` is each instance's max per-pixel blend weight;
+    segment-max over a gaussian's instances gives its visibility in the
+    view. Not differentiable (labeling path only)."""
+    b_pad = params.shape[0]
+    chunk = b_pad // chunk_tile.shape[0]
+    p = tile_size * tile_size
+    kernel = functools.partial(
+        _fwd_vis_kernel, tile_size=tile_size, tiles_x=tiles_x,
+        alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(chunk_tile.shape[0],),
+        in_specs=[pl.BlockSpec((chunk, PARAM_ROWS), lambda k, ct, cf: (k, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, 8, p), lambda k, ct, cf: (ct[k], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 8), lambda k, ct, cf: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles, 8, p), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 8), jnp.float32),
+        ),
+        interpret=interpret,
+    )(chunk_tile, chunk_first, params)
+
 
 def _bwd_kernel(chunk_tile, chunk_first, params_ref, grgb_ref, d_ref,
                 dparams_ref, carry_ref, *, tile_size: int, tiles_x: int,
-                alpha_min: float, alpha_max: float):
+                alpha_min: float, alpha_max: float, early_eps: float):
     k = pl.program_id(0)
     t = chunk_tile[k]
-    params = params_ref[...]
-    alpha, aux = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
-                               alpha_max)
 
     @pl.when(chunk_first[k] == 1)
     def _init():
         carry_ref[0:1, :] = jnp.ones_like(carry_ref[0:1, :])   # transmittance
         carry_ref[1:2, :] = jnp.zeros_like(carry_ref[1:2, :])  # contrib prefix
+
+    if early_eps > 0:
+        live = jnp.max(carry_ref[0:1, :]) >= early_eps
+        dparams_ref[...] = jnp.zeros_like(dparams_ref)
+
+        @pl.when(live)
+        def _():
+            _bwd_chunk(k, t, params_ref, grgb_ref, d_ref, dparams_ref,
+                       carry_ref, tile_size=tile_size, tiles_x=tiles_x,
+                       alpha_min=alpha_min, alpha_max=alpha_max)
+    else:
+        _bwd_chunk(k, t, params_ref, grgb_ref, d_ref, dparams_ref,
+                   carry_ref, tile_size=tile_size, tiles_x=tiles_x,
+                   alpha_min=alpha_min, alpha_max=alpha_max)
+
+
+def _bwd_chunk(k, t, params_ref, grgb_ref, d_ref, dparams_ref, carry_ref, *,
+               tile_size: int, tiles_x: int, alpha_min: float,
+               alpha_max: float):
+    params = params_ref[...]
+    alpha, aux = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
+                               alpha_max)
 
     incl = _cumprod_rows(1.0 - alpha)
     excl = _shift_down_one(incl, 1.0)
@@ -260,13 +371,15 @@ def _grid_spec(num_chunks, chunk, num_tiles, p, with_labels, *, backward):
 
 
 def _blend_fwd_call(params, chunk_tile, chunk_first, *, tile_size, tiles_x,
-                    num_tiles, alpha_min, alpha_max, with_labels, interpret):
+                    num_tiles, alpha_min, alpha_max, with_labels, interpret,
+                    early_eps):
     b_pad = params.shape[0]
     chunk = b_pad // chunk_tile.shape[0]
     p = tile_size * tile_size
     kernel = functools.partial(
         _fwd_kernel, tile_size=tile_size, tiles_x=tiles_x,
-        alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels)
+        alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels,
+        early_eps=early_eps)
     flops_est = 2 * b_pad * p * (8 + 3) + 40 * b_pad * p
     return pl.pallas_call(
         kernel,
@@ -281,13 +394,14 @@ def _blend_fwd_call(params, chunk_tile, chunk_first, *, tile_size, tiles_x,
 
 
 def _blend_bwd_call(params, chunk_tile, chunk_first, grgb, d, *, tile_size,
-                    tiles_x, num_tiles, alpha_min, alpha_max, interpret):
+                    tiles_x, num_tiles, alpha_min, alpha_max, interpret,
+                    early_eps):
     b_pad = params.shape[0]
     chunk = b_pad // chunk_tile.shape[0]
     p = tile_size * tile_size
     kernel = functools.partial(
         _bwd_kernel, tile_size=tile_size, tiles_x=tiles_x,
-        alpha_min=alpha_min, alpha_max=alpha_max)
+        alpha_min=alpha_min, alpha_max=alpha_max, early_eps=early_eps)
     flops_est = 2 * b_pad * p * (8 + 8 + 3) + 60 * b_pad * p
     return pl.pallas_call(
         kernel,
@@ -304,7 +418,7 @@ def _blend_bwd_call(params, chunk_tile, chunk_first, grgb, d, *, tile_size,
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def blend_chunks(
     params: jax.Array,       # [B_pad, 16] packed per-instance parameters
     chunk_tile: jax.Array,   # [K] i32
@@ -316,25 +430,29 @@ def blend_chunks(
     alpha_max: float,
     with_labels: bool,
     interpret: bool,
+    early_eps: float = 0.0,
 ) -> jax.Array:
     """Differentiable tile compositing. Returns [num_tiles, 8, P]."""
     return _blend_fwd_call(
         params, chunk_tile, chunk_first, tile_size=tile_size,
         tiles_x=tiles_x, num_tiles=num_tiles, alpha_min=alpha_min,
-        alpha_max=alpha_max, with_labels=with_labels, interpret=interpret)
+        alpha_max=alpha_max, with_labels=with_labels, interpret=interpret,
+        early_eps=early_eps)
 
 
 def _blend_fwd_rule(params, chunk_tile, chunk_first, tile_size, tiles_x,
-                    num_tiles, alpha_min, alpha_max, with_labels, interpret):
+                    num_tiles, alpha_min, alpha_max, with_labels, interpret,
+                    early_eps):
     out = _blend_fwd_call(
         params, chunk_tile, chunk_first, tile_size=tile_size,
         tiles_x=tiles_x, num_tiles=num_tiles, alpha_min=alpha_min,
-        alpha_max=alpha_max, with_labels=with_labels, interpret=interpret)
+        alpha_max=alpha_max, with_labels=with_labels, interpret=interpret,
+        early_eps=early_eps)
     return out, (params, chunk_tile, chunk_first, out)
 
 
 def _blend_bwd_rule(tile_size, tiles_x, num_tiles, alpha_min, alpha_max,
-                    with_labels, interpret, res, g):
+                    with_labels, interpret, early_eps, res, g):
     params, chunk_tile, chunk_first, out = res
     grgb = g[:, 0:3, :]                                   # [T, 3, P]
     gt = g[:, 3:4, :]                                     # [T, 1, P]
@@ -344,7 +462,7 @@ def _blend_bwd_rule(tile_size, tiles_x, num_tiles, alpha_min, alpha_max,
     dparams = _blend_bwd_call(
         params, chunk_tile, chunk_first, grgb, d, tile_size=tile_size,
         tiles_x=tiles_x, num_tiles=num_tiles, alpha_min=alpha_min,
-        alpha_max=alpha_max, interpret=interpret)
+        alpha_max=alpha_max, interpret=interpret, early_eps=early_eps)
     zt = np.zeros(chunk_tile.shape, jax.dtypes.float0)
     zf = np.zeros(chunk_first.shape, jax.dtypes.float0)
     return dparams, zt, zf

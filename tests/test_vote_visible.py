@@ -1,0 +1,73 @@
+"""Occlusion-aware vote: hidden gaussians must not vote (the failure mode of
+the reference's center-projection labeler)."""
+
+import numpy as np
+
+from gsplat_tpu.config import Config
+from gsplat_tpu.io.cameras import look_at_camera
+from gsplat_tpu.label import vote
+from gsplat_tpu.render.api import render
+from gsplat_tpu.scene import GaussianScene, color_to_dc
+
+CFG = Config()
+
+
+def _wall_and_hidden():
+    """A near-opaque front wall of splats at z=0 fully occluding a single
+    gaussian at z=1 (camera at z=-2 looks toward +z)."""
+    rng = np.random.default_rng(0)
+    wall_n = 64
+    xs = np.linspace(-0.8, 0.8, 8)
+    wx, wy = np.meshgrid(xs, xs)
+    wall = np.stack([wx.ravel(), wy.ravel(), np.zeros(wall_n)], -1)
+    means = np.concatenate([wall, [[0.0, 0.0, 1.0]]])
+    n = means.shape[0]
+    quats = np.zeros((n, 4)); quats[:, 0] = 1
+    log_scales = np.full((n, 3), np.log(0.18))
+    opac = np.full((n,), 9.0)
+    colors = np.concatenate([np.tile([[1.0, 0, 0]], (wall_n, 1)),
+                             [[0, 1.0, 0]]])
+    return GaussianScene.create(means, log_scales, quats, opac,
+                                color_to_dc(colors)[:, None, :])
+
+
+def test_visibility_weights():
+    scene = _wall_and_hidden()
+    cam = look_at_camera((0, 0, -2.0), (0, 0, 0), width=64, height=64)
+    out = render(scene, cam, CFG, impl="pallas_vis")
+    gw = np.asarray(out["gaussian_weight"])
+    assert gw[:64].max() > 0.5          # wall splats clearly visible
+    assert gw[64] < 0.05, gw[64]        # hidden one contributes ~nothing
+
+
+def test_occluded_gaussian_does_not_vote():
+    scene = _wall_and_hidden()
+    cam = look_at_camera((0, 0, -2.0), (0, 0, 0), width=64, height=64)
+    seg = np.full((1, 64, 64), 3, np.int32)  # everything labeled class 3
+
+    naive = np.asarray(vote.assign_labels(scene, [cam], seg, num_classes=5))
+    aware = np.asarray(vote.assign_labels_visible(
+        scene, [cam], seg, num_classes=5, cfg=CFG))
+
+    # naive vote labels the hidden gaussian through the wall (the
+    # reference's behavior); the occlusion-aware vote leaves it unlabeled
+    assert naive[64] == 3
+    assert aware[64] == -1
+    # visible wall gaussians labeled identically in both modes
+    np.testing.assert_array_equal(naive[:64], aware[:64])
+
+
+def test_visible_matches_naive_without_occlusion():
+    """With no occlusion every gaussian is visible: modes agree."""
+    from gsplat_tpu.io.synthetic import grid_scene
+
+    scene = grid_scene(3, spacing=0.6, scale=0.03)
+    cam = look_at_camera((0, 0, -3.0), (0, 0, 0), width=64, height=48)
+    rng = np.random.default_rng(1)
+    seg = rng.integers(0, 4, size=(1, 48, 64)).astype(np.int32)
+    naive = np.asarray(vote.assign_labels(scene, [cam], seg, num_classes=5))
+    aware = np.asarray(vote.assign_labels_visible(
+        scene, [cam], seg, num_classes=5, cfg=CFG,
+        visibility_threshold=0.01))
+    agree = (naive == aware).mean()
+    assert agree > 0.9, agree
