@@ -119,6 +119,9 @@ def main() -> None:
 
     mode = "fwd" if args.forward_only else "fwd+bwd"
     print(f"{mode}: {dt*1e3:.2f} ms/frame", file=sys.stderr)
+    # secondary BASELINE.md metric: gaussian instances blended per second
+    print(f"gaussians-blended/s: {args.budget / dt / 1e9:.2f}G "
+          f"(budget {args.budget} instances/frame)", file=sys.stderr)
     print(json.dumps({
         "metric": f"Mpix/s/chip {mode} rasterization "
                   f"({args.num_gaussians} gaussians, "

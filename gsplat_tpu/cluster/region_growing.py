@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import heapq
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax

@@ -241,3 +241,15 @@ def add_labels_to_ply(
     out["label"] = labels
     elements["vertex"] = out
     write_ply(dst_path, elements, binary=binary)
+
+
+def load_scene(path: str) -> GaussianScene:
+    """Auto-detecting scene loader (the drag-drop dispatch of
+    gaussians_selection.js:1644-1673): PLY magic bytes -> PLY codec;
+    anything else is treated as a packed 32-byte .splat buffer."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"ply\n":
+        return scene_from_ply(path)
+    from gsplat_tpu.io.splat_format import read_splat
+    return read_splat(path)

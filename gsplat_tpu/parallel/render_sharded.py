@@ -16,8 +16,7 @@ Dataflow (the TPU-native analogue of SURVEY.md section 2.23/2.24's
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

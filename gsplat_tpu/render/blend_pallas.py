@@ -33,8 +33,6 @@ best_weight, best_label, unused, unused] (label rows only when
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
