@@ -119,9 +119,11 @@ def main() -> None:
 
     mode = "fwd" if args.forward_only else "fwd+bwd"
     print(f"{mode}: {dt*1e3:.2f} ms/frame", file=sys.stderr)
-    # secondary BASELINE.md metric: gaussian instances blended per second
-    print(f"gaussians-blended/s: {args.budget / dt / 1e9:.2f}G "
-          f"(budget {args.budget} instances/frame)", file=sys.stderr)
+    # secondary BASELINE.md metric: (gaussian, pixel) blend evaluations/s
+    ts = cfg.raster.tile_size
+    pairs = args.budget * ts * ts
+    print(f"gaussian-pixel blends/s: {pairs / dt / 1e9:.1f}G "
+          f"({args.budget} instances x {ts*ts} px/frame)", file=sys.stderr)
     print(json.dumps({
         "metric": f"Mpix/s/chip {mode} rasterization "
                   f"({args.num_gaussians} gaussians, "

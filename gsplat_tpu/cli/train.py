@@ -34,7 +34,6 @@ def main(argv=None) -> int:
     ap.add_argument("--log_every", type=int, default=20)
     args = ap.parse_args(argv)
 
-    import jax
     import jax.numpy as jnp
     from PIL import Image
 

@@ -20,9 +20,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -136,8 +136,11 @@ def bin_gaussians(
     tile = (grow[:, 3] + row) * tiles_x + (grow[:, 2] + col)
     tile = jnp.where(inside, tile, num_tiles)  # sentinel tile for empty slots
 
-    # --- lexicographic (tile, depth-rank) sort: per-tile lists in depth order
-    inst_tile, inst_g = jax.lax.sort((tile, g), num_keys=2)
+    # --- per-tile lists in depth order: instances are emitted in depth-rank
+    # order, and lax.sort is stable, so sorting by tile alone (g as payload)
+    # keeps equal-tile runs depth-ordered — half the comparator work of a
+    # two-key lexicographic sort
+    inst_tile, inst_g = jax.lax.sort((tile, g), num_keys=1, is_stable=True)
 
     # --- per-tile ranges from the SORTED tile array: searchsorted with only
     # num_tiles+1 queries (scatter-based bincount costs ~9ms at 1M instances)

@@ -66,3 +66,38 @@ def test_device_timer_runs():
     rec = tp.record("step", dt, pixels=1024)
     assert rec["mpix_per_s"] > 0
     assert "step" in tp.report()
+
+
+def test_multiview_train_step_decreases_loss():
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gsplat_tpu.config import DEFAULT
+    from gsplat_tpu.io.cameras import orbit_cameras
+    from gsplat_tpu.render.api import render
+    from gsplat_tpu.render.projection import CameraParams
+    from gsplat_tpu.render.tiles import instance_budget
+
+    scene = random_scene(48, seed=63)
+    cams = orbit_cameras(3, radius=3.0, width=64, img_height=48)
+    targets = jnp.stack([
+        render(scene, c, DEFAULT)["image"] for c in cams])
+    rng = np.random.default_rng(0)
+    pert = dataclasses.replace(
+        scene, means=scene.means + 0.05 * rng.normal(
+            size=scene.means.shape).astype(np.float32))
+
+    budget = instance_budget(48, DEFAULT.tiles.chunk, 16.0)
+    step = trainer.make_multiview_train_step(
+        (64, 48), DEFAULT, lr=2e-3, budget=budget, interpret=True)
+    state = trainer.init_state(pert)
+    camsb = trainer.stack_cameras(
+        [CameraParams.from_camera(c) for c in cams])
+    losses = []
+    for _ in range(4):
+        state, loss = step(state, pert.labels, camsb, targets,
+                           jnp.zeros(3))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
