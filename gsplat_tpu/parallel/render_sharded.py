@@ -32,7 +32,7 @@ from gsplat_tpu.render.projection import (CameraParams, Projected, project,
 from gsplat_tpu.render.tiles import bin_gaussians
 from gsplat_tpu.scene import GaussianScene
 
-COMPACT_COLS = 13  # u v ca cb cc depth radius r g b opacity valid label
+COMPACT_COLS = 16  # u v ca cb cc depth radius ex ey qmax r g b opacity valid label
 
 
 def _pack_compact(proj: Projected, labels: jax.Array) -> jax.Array:
@@ -40,6 +40,7 @@ def _pack_compact(proj: Projected, labels: jax.Array) -> jax.Array:
         proj.means2d[:, 0], proj.means2d[:, 1],
         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
         proj.depth, proj.radius,
+        proj.extent[:, 0], proj.extent[:, 1], proj.qmax,
         proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
         proj.opacity, proj.valid.astype(jnp.float32),
         labels.astype(jnp.float32),
@@ -49,7 +50,8 @@ def _pack_compact(proj: Projected, labels: jax.Array) -> jax.Array:
 def _unpack_compact(c: jax.Array) -> Projected:
     return Projected(
         means2d=c[:, 0:2], conic=c[:, 2:5], depth=c[:, 5], radius=c[:, 6],
-        color=c[:, 7:10], opacity=c[:, 10], valid=c[:, 11] > 0.5)
+        extent=c[:, 7:9], qmax=c[:, 9],
+        color=c[:, 10:13], opacity=c[:, 13], valid=c[:, 14] > 0.5)
 
 
 def band_layout(width: int, height: int, tile_size: int, num_devices: int):
@@ -87,7 +89,7 @@ def render_sharded(
         compact = _pack_compact(proj, scene_shard.labels)
         full = jax.lax.all_gather(compact, AXES, axis=0, tiled=True)
         projf = _unpack_compact(full)
-        labelsf = full[:, 12].astype(jnp.int32)
+        labelsf = full[:, 15].astype(jnp.int32)
 
         dev = jax.lax.axis_index(AXES)
         y_off = (dev * band_h).astype(jnp.float32)
@@ -101,6 +103,7 @@ def render_sharded(
         params = pack_instance_params(projf, labelsf, binning)
         out_tiles = blend_pallas.blend_chunks(
             params, binning.chunk_tile, binning.chunk_first,
+            binning.chunk_live,
             ts, tiles_x, tiles_x * band_ty,
             rc.alpha_min, rc.alpha_max, False, interpret,
             rc.early_stop_eps)

@@ -19,7 +19,8 @@ from gsplat_tpu.io.cameras import Camera
 from gsplat_tpu.render import blend_pallas, blend_xla
 from gsplat_tpu.render.projection import CameraParams, Projected, project, tile_grid
 from gsplat_tpu.render.tiles import (Binning, bin_gaussians, bucket_budget,
-                                     count_instances, instance_budget)
+                                     count_instances, count_instances_tight,
+                                     instance_budget)
 from gsplat_tpu.scene import GaussianScene
 
 
@@ -55,7 +56,7 @@ def pack_instance_params(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "cfg", "with_labels", "impl",
-                     "interpret", "budget"))
+                     "interpret", "budget", "kernel_budget"))
 def _render_impl(
     scene: GaussianScene,
     cam: CameraParams,
@@ -68,6 +69,7 @@ def _render_impl(
     impl: str,
     interpret: bool,
     budget: int,
+    kernel_budget: Optional[int] = None,
 ) -> Dict[str, jax.Array]:
     rc = cfg.raster
     proj = project(scene, cam, width, height, rc,
@@ -86,10 +88,10 @@ def _render_impl(
     tiles_x, tiles_y = tile_grid(width, height, rc.tile_size)
     binning = bin_gaussians(
         proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_size=rc.tile_size,
-        chunk=cfg.tiles.chunk, budget=budget)
+        chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget)
     params = pack_instance_params(proj, scene.labels, binning)
     out_tiles = blend_pallas.blend_chunks(
-        params, binning.chunk_tile, binning.chunk_first,
+        params, binning.chunk_tile, binning.chunk_first, binning.chunk_live,
         rc.tile_size, tiles_x, tiles_x * tiles_y,
         rc.alpha_min, rc.alpha_max, with_labels, interpret,
         rc.early_stop_eps)
@@ -113,7 +115,7 @@ def _render_impl(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "cfg", "with_labels", "interpret",
-                     "budget"))
+                     "budget", "kernel_budget"))
 def _render_vis_impl(
     scene: GaussianScene,
     cam: CameraParams,
@@ -125,6 +127,7 @@ def _render_vis_impl(
     with_labels: bool,
     interpret: bool,
     budget: int,
+    kernel_budget: Optional[int] = None,
 ) -> Dict[str, jax.Array]:
     """Forward render that also returns per-gaussian visibility weights
     (max blend weight over any pixel) — evidence for occlusion-aware
@@ -135,10 +138,10 @@ def _render_vis_impl(
     tiles_x, tiles_y = tile_grid(width, height, rc.tile_size)
     binning = bin_gaussians(
         proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_size=rc.tile_size,
-        chunk=cfg.tiles.chunk, budget=budget)
+        chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget)
     params = pack_instance_params(proj, scene.labels, binning)
     out_tiles, inst_w = blend_pallas.blend_chunks_vis(
-        params, binning.chunk_tile, binning.chunk_first,
+        params, binning.chunk_tile, binning.chunk_first, binning.chunk_live,
         rc.tile_size, tiles_x, tiles_x * tiles_y,
         rc.alpha_min, rc.alpha_max, with_labels, interpret)
     rank = binning.inst_gauss
@@ -181,9 +184,10 @@ def render(
         interpret = jax.default_backend() not in ("tpu", "axon")
     if background is None:
         background = jnp.asarray(cfg.raster.background, jnp.float32)
+    kernel_budget = None
     if budget is None:
-        # measure the exact instance count (cheap jitted pass), then bucket
-        # it so repeated renders share compiled programs
+        # measure the exact instance counts (cheap jitted passes), then
+        # bucket them so repeated renders share compiled programs
         if impl == "dense":
             budget = cfg.tiles.chunk
         elif isinstance(scene.means, jax.core.Tracer):
@@ -202,15 +206,20 @@ def render(
                 proj, tiles_x=tx, tiles_y=ty,
                 tile_size=cfg.raster.tile_size))
             budget = bucket_budget(cnt, cfg.tiles.chunk)
+            tight = int(count_instances_tight(
+                proj, tiles_x=tx, tiles_y=ty,
+                tile_size=cfg.raster.tile_size, budget=budget))
+            kernel_budget = bucket_budget(tight, cfg.tiles.chunk)
     if impl == "pallas_vis":
         return _render_vis_impl(
             scene, CameraParams.from_camera(camera),
             jnp.asarray(background, jnp.float32),
             width=camera.width, height=camera.height, cfg=cfg,
-            with_labels=with_labels, interpret=interpret, budget=budget)
+            with_labels=with_labels, interpret=interpret, budget=budget,
+            kernel_budget=kernel_budget)
     return _render_impl(
         scene, CameraParams.from_camera(camera),
         jnp.asarray(background, jnp.float32),
         width=camera.width, height=camera.height, cfg=cfg,
         with_labels=with_labels, impl=impl, interpret=interpret,
-        budget=budget)
+        budget=budget, kernel_budget=kernel_budget)

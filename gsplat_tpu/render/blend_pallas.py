@@ -10,20 +10,27 @@ Design (see gsplat_tpu/render/tiles.py for the binning that feeds this):
   Pallas step per chunk, walked sequentially. ``chunk_tile[k]`` (scalar
   prefetch) names the owning tile; consecutive chunks of one tile revisit the
   same output block, which therefore stays resident in VMEM and doubles as
-  the per-pixel carry (premultiplied RGB + transmittance).
-- Per chunk, the Mahalanobis quadratic form for all (gaussian, pixel) pairs
-  is evaluated as ONE MXU matmul: q = G @ F where G[(chunk, 8)] packs the
-  conic/mean-derived polynomial coefficients (in tile-local pixel coords, for
-  f32 stability) and F[(8, P)] the pixel monomials [x^2 y^2 xy x y 1 0 0].
+  the per-pixel carry (premultiplied RGB + transmittance). ``chunk_live[k]``
+  gates all compute: all-padding chunks (tight-filter shrinkage, per-tile
+  alignment, budget slack) cost only the grid step.
+- All compute is VPU: the Mahalanobis quadratic form is broadcast
+  arithmetic in tile-local pixel coordinates (f32-exact), and the
+  per-gaussian gradient moments are axis reductions over dx/dy products.
+  The MXU is deliberately idle — every matmul formulation here is either a
+  K<=8 contraction (too skinny to feed the systolic array) or needs f32
+  accuracy, where a HIGHEST-precision (bf16x6) 128x1024 matmul costs ~2ms
+  over the whole grid and Mosaic does not lower bf16x3. Reducing over dx/dy
+  directly also avoids the catastrophic (x/sigma)^2 cancellation the
+  monomial-reconstruction (dq @ F^T) formulation suffers on small splats.
 - Front-to-back compositing inside a chunk is an exclusive cumulative
   product of (1 - alpha) along the gaussian (sublane) axis — a log2(CHUNK)
   shift-multiply scan — seeded by the tile's carried transmittance.
 - Backward re-walks the chunks in the same order with the standard
   suffix-sum trick: S_i = D - prefix_i, where the per-pixel total
-  D = C . dC + T_final . dT comes from the forward residuals, and per-pixel
-  reductions onto gaussians are again MXU matmuls against F. Each chunk
+  D = C . dC + T_final . dT comes from the forward residuals. Each chunk
   writes grads for its own instance rows — no atomics anywhere; the
-  instance->gaussian scatter-add is autodiff's transpose of the outer gather.
+  instance->gaussian scatter-add is autodiff's transpose of the outer
+  gather.
 
 Forward output layout: out[T, 8, P] rows = [r, g, b, transmittance,
 best_weight, best_label, unused, unused] (label rows only when
@@ -42,7 +49,6 @@ from jax.experimental.pallas import tpu as pltpu
 # Parameter row layout of the packed per-instance matrix [B_pad, 16].
 P_MX, P_MY, P_CA, P_CB, P_CC, P_OP, P_R, P_G, P_B, P_VALID, P_LABEL = range(11)
 PARAM_ROWS = 16
-
 
 def _scan_shift(x: jax.Array, combine, identity: float) -> jax.Array:
     """Inclusive scan along axis 0 (sublanes) via log2(n) shift-combines."""
@@ -70,16 +76,13 @@ def _shift_down_one(x: jax.Array, fill: float) -> jax.Array:
     return jnp.where(row >= 1, pltpu.roll(x, shift=1, axis=0), fill)
 
 
-def _pixel_monomials(tile_size: int) -> jax.Array:
-    """F [(8, P)]: tile-local pixel-center monomials [x2 y2 xy x y 1 0 0]."""
+def _pixel_coords(tile_size: int):
+    """Tile-local pixel-center coordinates, each [(1, P)]."""
     p = tile_size * tile_size
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     px = (pid % tile_size).astype(jnp.float32) + 0.5
     py = (pid // tile_size).astype(jnp.float32) + 0.5
-    one = jnp.ones_like(px)
-    zero = jnp.zeros_like(px)
-    return jnp.concatenate(
-        [px * px, py * py, px * py, px, py, one, zero, zero], axis=0)
+    return px, py
 
 
 def _chunk_alphas(params, t, tile_size: int, tiles_x: int,
@@ -87,6 +90,9 @@ def _chunk_alphas(params, t, tile_size: int, tiles_x: int,
     """Shared forward math: per-(gaussian, pixel) alphas for one chunk.
 
     params: [(chunk, 16)] block. Returns (alpha [(chunk, P)], aux dict).
+    The quadratic form runs on the VPU (broadcast FMAs in tile-local f32),
+    not the MXU — the K=8 monomial contraction is far too skinny to feed the
+    systolic array efficiently.
     """
     x0 = (t % tiles_x) * tile_size
     y0 = (t // tiles_x) * tile_size
@@ -98,26 +104,39 @@ def _chunk_alphas(params, t, tile_size: int, tiles_x: int,
     op = params[:, P_OP:P_OP + 1]
     validf = params[:, P_VALID:P_VALID + 1]
 
-    zero = jnp.zeros_like(ca)
-    g = jnp.concatenate([
-        ca, cc, 2.0 * cb,
-        -2.0 * ca * mx - 2.0 * cb * my,
-        -2.0 * cc * my - 2.0 * cb * mx,
-        ca * mx * mx + 2.0 * cb * mx * my + cc * my * my,
-        zero, zero], axis=1)                       # (chunk, 8)
-    f = _pixel_monomials(tile_size)                # (8, P)
-    q = jax.lax.dot_general(
-        g, f, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)        # (chunk, P)
+    px, py = _pixel_coords(tile_size)
+    dx = px - mx                                   # (chunk, P)
+    dy = py - my
+    q = ((ca * dx + (2.0 * cb) * dy) * dx + cc * dy * dy)
     raw = op * jnp.exp(-0.5 * q) * validf
     alpha = jnp.minimum(raw, alpha_max)
     alpha = jnp.where(alpha >= alpha_min, alpha, 0.0)
-    aux = dict(mx=mx, my=my, ca=ca, cb=cb, cc=cc, op=op, f=f, raw=raw)
+    aux = dict(dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, op=op, raw=raw)
     return alpha, aux
 
 
-def _fwd_kernel(chunk_tile, chunk_first, params_ref, out_ref, *,
+def _accumulate_rgb(out_ref, params, w, t_carry, incl):
+    # Per-channel sublane reduction on the VPU (f32-exact); the matmul
+    # formulation colors^T @ w is a 3-row output — pure MXU waste.
+    for ch in range(3):
+        col = params[:, P_R + ch:P_R + ch + 1]     # (chunk, 1)
+        out_ref[0, ch:ch + 1, :] += jnp.sum(col * w, axis=0, keepdims=True)
+    out_ref[0, 3:4, :] = t_carry * incl[-1:, :]
+
+
+def _accumulate_labels(out_ref, params, w):
+    best_j = jnp.argmax(w, axis=0)[None, :]        # first max wins
+    row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+    onehot = (row == best_j).astype(jnp.float32)
+    mw = jnp.max(w, axis=0)[None, :]               # (1, P)
+    labf = params[:, P_LABEL:P_LABEL + 1]          # (chunk, 1)
+    lab_best = jnp.sum(labf * onehot, axis=0)[None, :]
+    better = mw > out_ref[0, 4:5, :]
+    out_ref[0, 4:5, :] = jnp.where(better, mw, out_ref[0, 4:5, :])
+    out_ref[0, 5:6, :] = jnp.where(better, lab_best, out_ref[0, 5:6, :])
+
+
+def _fwd_kernel(chunk_tile, chunk_first, chunk_live, params_ref, out_ref, *,
                 tile_size: int, tiles_x: int, alpha_min: float,
                 alpha_max: float, with_labels: bool, early_eps: float):
     k = pl.program_id(0)
@@ -134,7 +153,9 @@ def _fwd_kernel(chunk_tile, chunk_first, params_ref, out_ref, *,
     # Early termination: once every pixel in the tile is saturated
     # (transmittance < early_eps) remaining chunks change the image by
     # < early_eps and are skipped. early_eps=0 disables (exact mode).
-    live = jnp.max(t_carry) >= early_eps if early_eps > 0 else True
+    live = chunk_live[k] == 1
+    if early_eps > 0:
+        live &= jnp.max(t_carry) >= early_eps
 
     @pl.when(live)
     def _compute():
@@ -144,30 +165,13 @@ def _fwd_kernel(chunk_tile, chunk_first, params_ref, out_ref, *,
         incl = _cumprod_rows(1.0 - alpha)          # (chunk, P)
         excl = _shift_down_one(incl, 1.0)
         w = t_carry * excl * alpha                 # (chunk, P)
-
-        colors = params[:, P_R:P_B + 1]            # (chunk, 3)
-        rgb = jax.lax.dot_general(
-            colors, w, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)    # (3, P)
-        out_ref[0, 0:3, :] += rgb
-        out_ref[0, 3:4, :] = t_carry * incl[-1:, :]
-
+        _accumulate_rgb(out_ref, params, w, t_carry, incl)
         if with_labels:
-            best_j = jnp.argmax(w, axis=0)[None, :]  # first max wins
-            row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
-            onehot = (row == best_j).astype(jnp.float32)
-            mw = jnp.max(w, axis=0)[None, :]       # (1, P)
-            labf = params[:, P_LABEL:P_LABEL + 1]  # (chunk, 1)
-            lab_best = jnp.sum(labf * onehot, axis=0)[None, :]
-            better = mw > out_ref[0, 4:5, :]
-            out_ref[0, 4:5, :] = jnp.where(better, mw, out_ref[0, 4:5, :])
-            out_ref[0, 5:6, :] = jnp.where(better, lab_best,
-                                           out_ref[0, 5:6, :])
+            _accumulate_labels(out_ref, params, w)
 
 
-def _fwd_vis_kernel(chunk_tile, chunk_first, params_ref, out_ref, w_ref, *,
-                    tile_size: int, tiles_x: int, alpha_min: float,
+def _fwd_vis_kernel(chunk_tile, chunk_first, chunk_live, params_ref, out_ref,
+                    w_ref, *, tile_size: int, tiles_x: int, alpha_min: float,
                     alpha_max: float, with_labels: bool):
     """Forward blend that additionally records, per instance, the max blend
     weight over the tile's pixels — per-gaussian visibility evidence for the
@@ -175,9 +179,6 @@ def _fwd_vis_kernel(chunk_tile, chunk_first, params_ref, out_ref, w_ref, *,
     labeler lacks: deep_learning_segmentation.py votes through occluders)."""
     k = pl.program_id(0)
     t = chunk_tile[k]
-    params = params_ref[...]
-    alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
-                             alpha_max)
 
     @pl.when(chunk_first[k] == 1)
     def _init():
@@ -186,35 +187,26 @@ def _fwd_vis_kernel(chunk_tile, chunk_first, params_ref, out_ref, w_ref, *,
         if with_labels:
             out_ref[0, 5:6, :] = jnp.full_like(out_ref[0, 5:6, :], -1.0)
 
-    incl = _cumprod_rows(1.0 - alpha)
-    excl = _shift_down_one(incl, 1.0)
-    t_carry = out_ref[0, 3:4, :]
-    w = t_carry * excl * alpha                     # (chunk, P)
+    w_ref[...] = jnp.zeros_like(w_ref)
 
-    colors = params[:, P_R:P_B + 1]
-    rgb = jax.lax.dot_general(
-        colors, w, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    out_ref[0, 0:3, :] += rgb
-    out_ref[0, 3:4, :] = t_carry * incl[-1:, :]
-    if with_labels:
-        best_j = jnp.argmax(w, axis=0)[None, :]
-        row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
-        onehot = (row == best_j).astype(jnp.float32)
-        mw = jnp.max(w, axis=0)[None, :]
-        labf = params[:, P_LABEL:P_LABEL + 1]
-        lab_best = jnp.sum(labf * onehot, axis=0)[None, :]
-        better = mw > out_ref[0, 4:5, :]
-        out_ref[0, 4:5, :] = jnp.where(better, mw, out_ref[0, 4:5, :])
-        out_ref[0, 5:6, :] = jnp.where(better, lab_best, out_ref[0, 5:6, :])
-
-    wmax = jnp.max(w, axis=1, keepdims=True)       # (chunk, 1)
-    w_ref[...] = jnp.broadcast_to(wmax, w_ref.shape)
+    @pl.when(chunk_live[k] == 1)
+    def _compute():
+        params = params_ref[...]
+        alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
+                                 alpha_max)
+        incl = _cumprod_rows(1.0 - alpha)
+        excl = _shift_down_one(incl, 1.0)
+        t_carry = out_ref[0, 3:4, :]
+        w = t_carry * excl * alpha                 # (chunk, P)
+        _accumulate_rgb(out_ref, params, w, t_carry, incl)
+        if with_labels:
+            _accumulate_labels(out_ref, params, w)
+        wmax = jnp.max(w, axis=1, keepdims=True)   # (chunk, 1)
+        w_ref[...] = jnp.broadcast_to(wmax, w_ref.shape)
 
 
-def blend_chunks_vis(params, chunk_tile, chunk_first, tile_size, tiles_x,
-                     num_tiles, alpha_min, alpha_max, with_labels,
+def blend_chunks_vis(params, chunk_tile, chunk_first, chunk_live, tile_size,
+                     tiles_x, num_tiles, alpha_min, alpha_max, with_labels,
                      interpret):
     """Forward blend returning (tiles [T, 8, P], inst_weight [B_pad, 8]).
 
@@ -228,14 +220,15 @@ def blend_chunks_vis(params, chunk_tile, chunk_first, tile_size, tiles_x,
         _fwd_vis_kernel, tile_size=tile_size, tiles_x=tiles_x,
         alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(chunk_tile.shape[0],),
-        in_specs=[pl.BlockSpec((chunk, PARAM_ROWS), lambda k, ct, cf: (k, 0),
+        in_specs=[pl.BlockSpec((chunk, PARAM_ROWS),
+                               lambda k, ct, cf, cl: (k, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((1, 8, p), lambda k, ct, cf: (ct[k], 0, 0),
+            pl.BlockSpec((1, 8, p), lambda k, ct, cf, cl: (ct[k], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 8), lambda k, ct, cf: (k, 0),
+            pl.BlockSpec((chunk, 8), lambda k, ct, cf, cl: (k, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
@@ -247,12 +240,13 @@ def blend_chunks_vis(params, chunk_tile, chunk_first, tile_size, tiles_x,
             jax.ShapeDtypeStruct((b_pad, 8), jnp.float32),
         ),
         interpret=interpret,
-    )(chunk_tile, chunk_first, params)
+    )(chunk_tile, chunk_first, chunk_live, params)
 
 
-def _bwd_kernel(chunk_tile, chunk_first, params_ref, grgb_ref, d_ref,
-                dparams_ref, carry_ref, *, tile_size: int, tiles_x: int,
-                alpha_min: float, alpha_max: float, early_eps: float):
+def _bwd_kernel(chunk_tile, chunk_first, chunk_live, params_ref, grgb_ref,
+                d_ref, dparams_ref, carry_ref, *, tile_size: int,
+                tiles_x: int, alpha_min: float, alpha_max: float,
+                early_eps: float):
     k = pl.program_id(0)
     t = chunk_tile[k]
 
@@ -261,16 +255,13 @@ def _bwd_kernel(chunk_tile, chunk_first, params_ref, grgb_ref, d_ref,
         carry_ref[0:1, :] = jnp.ones_like(carry_ref[0:1, :])   # transmittance
         carry_ref[1:2, :] = jnp.zeros_like(carry_ref[1:2, :])  # contrib prefix
 
+    live = chunk_live[k] == 1
     if early_eps > 0:
-        live = jnp.max(carry_ref[0:1, :]) >= early_eps
-        dparams_ref[...] = jnp.zeros_like(dparams_ref)
+        live &= jnp.max(carry_ref[0:1, :]) >= early_eps
+    dparams_ref[...] = jnp.zeros_like(dparams_ref)
 
-        @pl.when(live)
-        def _():
-            _bwd_chunk(k, t, params_ref, grgb_ref, d_ref, dparams_ref,
-                       carry_ref, tile_size=tile_size, tiles_x=tiles_x,
-                       alpha_min=alpha_min, alpha_max=alpha_max)
-    else:
+    @pl.when(live)
+    def _():
         _bwd_chunk(k, t, params_ref, grgb_ref, d_ref, dparams_ref,
                    carry_ref, tile_size=tile_size, tiles_x=tiles_x,
                    alpha_min=alpha_min, alpha_max=alpha_max)
@@ -291,10 +282,11 @@ def _bwd_chunk(k, t, params_ref, grgb_ref, d_ref, dparams_ref, carry_ref, *,
 
     grgb = grgb_ref[0, :, :]                       # (3, P)
     colors = params[:, P_R:P_B + 1]                # (chunk, 3)
-    cg = jax.lax.dot_general(
-        colors, grgb, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)        # (chunk, P)
+    # cg[i, p] = colors[i] . grgb[:, p]: K=3 is too skinny for the MXU —
+    # three broadcast FMAs on the VPU cost ~10x less than the matmul.
+    cg = (colors[:, 0:1] * grgb[0:1, :]
+          + colors[:, 1:2] * grgb[1:2, :]
+          + colors[:, 2:3] * grgb[2:3, :])          # (chunk, P)
     contrib = w * cg
     p_incl = carry_ref[1:2, :] + _cumsum_rows(contrib)
     s = d_ref[0, :, :] - p_incl                    # (chunk, P) suffix + dT term
@@ -304,29 +296,29 @@ def _bwd_chunk(k, t, params_ref, grgb_ref, d_ref, dparams_ref, carry_ref, *,
     dalpha = jnp.where(live, t_excl * cg - s / (1.0 - alpha), 0.0)
     dq = jnp.where(unclamped, -0.5 * alpha * dalpha, 0.0)
 
-    # per-gaussian pixel moments of dq: (chunk, 8) = dq @ F^T
-    m = jax.lax.dot_general(
-        dq, aux["f"], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    s_xx, s_yy, s_xy = m[:, 0:1], m[:, 1:2], m[:, 2:3]
-    s_x, s_y, s_1 = m[:, 3:4], m[:, 4:5], m[:, 5:6]
-    mx, my = aux["mx"], aux["my"]
+    # Per-gaussian gradient moments: lane (pixel-axis) reductions over dq
+    # products with dx/dy — f32-exact on the VPU, and free of the
+    # (x/sigma)^2 cancellation a shared-monomial matmul formulation incurs.
+    dx, dy = aux["dx"], aux["dy"]
     ca, cb, cc, op = aux["ca"], aux["cb"], aux["cc"], aux["op"]
+    t1 = dq * dx
+    t2 = dq * dy
 
-    cx = s_x - mx * s_1   # sum dq * dx
-    cy = s_y - my * s_1   # sum dq * dy
-    d_ca = s_xx - 2.0 * mx * s_x + mx * mx * s_1
-    d_cc = s_yy - 2.0 * my * s_y + my * my * s_1
-    d_cb = 2.0 * (s_xy - my * s_x - mx * s_y + mx * my * s_1)
+    def _rsum(x):
+        return jnp.sum(x, axis=1, keepdims=True)   # (chunk, 1)
+
+    cx = _rsum(t1)          # sum dq * dx
+    cy = _rsum(t2)          # sum dq * dy
+    d_ca = _rsum(t1 * dx)
+    d_cc = _rsum(t2 * dy)
+    d_cb = 2.0 * _rsum(t1 * dy)
+    s_1 = _rsum(dq)
     d_mx = -2.0 * ca * cx - 2.0 * cb * cy
     d_my = -2.0 * cc * cy - 2.0 * cb * cx
     d_op = -2.0 * s_1 / jnp.maximum(op, 1e-20)
 
-    d_col = jax.lax.dot_general(
-        w, grgb, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)        # (chunk, 3)
+    d_col = jnp.concatenate(
+        [_rsum(w * grgb[ch:ch + 1, :]) for ch in range(3)], axis=1)
 
     zero = jnp.zeros_like(d_mx)
     dparams_ref[...] = jnp.concatenate(
@@ -340,37 +332,37 @@ def _bwd_chunk(k, t, params_ref, grgb_ref, d_ref, dparams_ref, carry_ref, *,
 def _grid_spec(num_chunks, chunk, num_tiles, p, with_labels, *, backward):
     del num_tiles, with_labels
     params_spec = pl.BlockSpec(
-        (chunk, PARAM_ROWS), lambda k, ct, cf: (k, 0),
+        (chunk, PARAM_ROWS), lambda k, ct, cf, cl: (k, 0),
         memory_space=pltpu.VMEM)
     if not backward:
         return pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(num_chunks,),
             in_specs=[params_spec],
             out_specs=pl.BlockSpec(
-                (1, 8, p), lambda k, ct, cf: (ct[k], 0, 0),
+                (1, 8, p), lambda k, ct, cf, cl: (ct[k], 0, 0),
                 memory_space=pltpu.VMEM),
         )
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_chunks,),
         in_specs=[
             params_spec,
-            pl.BlockSpec((1, 3, p), lambda k, ct, cf: (ct[k], 0, 0),
+            pl.BlockSpec((1, 3, p), lambda k, ct, cf, cl: (ct[k], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda k, ct, cf: (ct[k], 0, 0),
+            pl.BlockSpec((1, 1, p), lambda k, ct, cf, cl: (ct[k], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (chunk, PARAM_ROWS), lambda k, ct, cf: (k, 0),
+            (chunk, PARAM_ROWS), lambda k, ct, cf, cl: (k, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, p), jnp.float32)],
     )
 
 
-def _blend_fwd_call(params, chunk_tile, chunk_first, *, tile_size, tiles_x,
-                    num_tiles, alpha_min, alpha_max, with_labels, interpret,
-                    early_eps):
+def _blend_fwd_call(params, chunk_tile, chunk_first, chunk_live, *, tile_size,
+                    tiles_x, num_tiles, alpha_min, alpha_max, with_labels,
+                    interpret, early_eps):
     b_pad = params.shape[0]
     chunk = b_pad // chunk_tile.shape[0]
     p = tile_size * tile_size
@@ -388,12 +380,12 @@ def _blend_fwd_call(params, chunk_tile, chunk_first, *, tile_size, tiles_x,
             flops=flops_est, bytes_accessed=b_pad * 64 + num_tiles * 32 * p,
             transcendentals=b_pad * p),
         interpret=interpret,
-    )(chunk_tile, chunk_first, params)
+    )(chunk_tile, chunk_first, chunk_live, params)
 
 
-def _blend_bwd_call(params, chunk_tile, chunk_first, grgb, d, *, tile_size,
-                    tiles_x, num_tiles, alpha_min, alpha_max, interpret,
-                    early_eps):
+def _blend_bwd_call(params, chunk_tile, chunk_first, chunk_live, grgb, d, *,
+                    tile_size, tiles_x, num_tiles, alpha_min, alpha_max,
+                    interpret, early_eps):
     b_pad = params.shape[0]
     chunk = b_pad // chunk_tile.shape[0]
     p = tile_size * tile_size
@@ -411,16 +403,17 @@ def _blend_bwd_call(params, chunk_tile, chunk_first, grgb, d, *, tile_size,
             bytes_accessed=b_pad * 128 + num_tiles * 32 * p,
             transcendentals=b_pad * p),
         interpret=interpret,
-    )(chunk_tile, chunk_first, params, grgb, d)
+    )(chunk_tile, chunk_first, chunk_live, params, grgb, d)
 
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def blend_chunks(
     params: jax.Array,       # [B_pad, 16] packed per-instance parameters
     chunk_tile: jax.Array,   # [K] i32
     chunk_first: jax.Array,  # [K] i32
+    chunk_live: jax.Array,   # [K] i32
     tile_size: int,
     tiles_x: int,
     num_tiles: int,
@@ -432,38 +425,40 @@ def blend_chunks(
 ) -> jax.Array:
     """Differentiable tile compositing. Returns [num_tiles, 8, P]."""
     return _blend_fwd_call(
-        params, chunk_tile, chunk_first, tile_size=tile_size,
+        params, chunk_tile, chunk_first, chunk_live, tile_size=tile_size,
         tiles_x=tiles_x, num_tiles=num_tiles, alpha_min=alpha_min,
         alpha_max=alpha_max, with_labels=with_labels, interpret=interpret,
         early_eps=early_eps)
 
 
-def _blend_fwd_rule(params, chunk_tile, chunk_first, tile_size, tiles_x,
-                    num_tiles, alpha_min, alpha_max, with_labels, interpret,
-                    early_eps):
+def _blend_fwd_rule(params, chunk_tile, chunk_first, chunk_live, tile_size,
+                    tiles_x, num_tiles, alpha_min, alpha_max, with_labels,
+                    interpret, early_eps):
     out = _blend_fwd_call(
-        params, chunk_tile, chunk_first, tile_size=tile_size,
+        params, chunk_tile, chunk_first, chunk_live, tile_size=tile_size,
         tiles_x=tiles_x, num_tiles=num_tiles, alpha_min=alpha_min,
         alpha_max=alpha_max, with_labels=with_labels, interpret=interpret,
         early_eps=early_eps)
-    return out, (params, chunk_tile, chunk_first, out)
+    return out, (params, chunk_tile, chunk_first, chunk_live, out)
 
 
 def _blend_bwd_rule(tile_size, tiles_x, num_tiles, alpha_min, alpha_max,
                     with_labels, interpret, early_eps, res, g):
-    params, chunk_tile, chunk_first, out = res
+    params, chunk_tile, chunk_first, chunk_live, out = res
     grgb = g[:, 0:3, :]                                   # [T, 3, P]
     gt = g[:, 3:4, :]                                     # [T, 1, P]
     # Per-pixel total D = C . dC + T_final . dT (suffix-sum seed).
     d = (jnp.sum(out[:, 0:3, :] * grgb, axis=1, keepdims=True)
          + out[:, 3:4, :] * gt)                           # [T, 1, P]
     dparams = _blend_bwd_call(
-        params, chunk_tile, chunk_first, grgb, d, tile_size=tile_size,
-        tiles_x=tiles_x, num_tiles=num_tiles, alpha_min=alpha_min,
-        alpha_max=alpha_max, interpret=interpret, early_eps=early_eps)
+        params, chunk_tile, chunk_first, chunk_live, grgb, d,
+        tile_size=tile_size, tiles_x=tiles_x, num_tiles=num_tiles,
+        alpha_min=alpha_min, alpha_max=alpha_max, interpret=interpret,
+        early_eps=early_eps)
     zt = np.zeros(chunk_tile.shape, jax.dtypes.float0)
     zf = np.zeros(chunk_first.shape, jax.dtypes.float0)
-    return dparams, zt, zf
+    zl = np.zeros(chunk_live.shape, jax.dtypes.float0)
+    return dparams, zt, zf, zl
 
 
 blend_chunks.defvjp(_blend_fwd_rule, _blend_bwd_rule)

@@ -43,7 +43,9 @@ class Projected(NamedTuple):
     means2d: jax.Array   # [N, 2] pixel coords
     conic: jax.Array     # [N, 3] (a, b, c) of inverse 2D covariance
     depth: jax.Array     # [N] camera-space z
-    radius: jax.Array    # [N] 3.33-sigma pixel radius
+    radius: jax.Array    # [N] cutoff-sigma pixel radius (isotropic bound)
+    extent: jax.Array    # [N, 2] per-axis half-extents of the cutoff ellipse
+    qmax: jax.Array      # [N] Mahalanobis^2 at the alpha_min cutoff
     color: jax.Array     # [N, 3] SH-evaluated RGB (>= 0)
     opacity: jax.Array   # [N] sigmoid-activated
     valid: jax.Array     # [N] bool
@@ -127,10 +129,17 @@ def project(
         jnp.maximum(opacity / cfg.alpha_min, 1.0)))
     cutoff = jnp.minimum(cutoff, cfg.sigma_cutoff)
     radius = cutoff * jnp.sqrt(jnp.maximum(lam1, 0.0))
+    # Per-axis half-extents of the cutoff ellipse {q <= cutoff^2}: the
+    # ellipse's max |dx| is cutoff*sqrt(Sigma2_xx) — strictly tighter than
+    # the isotropic lam1 radius for anisotropic splats, so the tile bboxes
+    # built from it enumerate fewer instances.
+    extent = cutoff[:, None] * jnp.sqrt(jnp.maximum(
+        jnp.stack([a, c], axis=-1), 0.0))
+    qmax = cutoff * cutoff
     valid &= opacity >= cfg.alpha_min
 
-    valid &= (u + radius > 0) & (u - radius < width)
-    valid &= (v + radius > 0) & (v - radius < height)
+    valid &= (u + extent[:, 0] > 0) & (u - extent[:, 0] < width)
+    valid &= (v + extent[:, 1] > 0) & (v - extent[:, 1] < height)
 
     view_dir = means - cam.pos[None, :]
     view_dir = view_dir / jnp.maximum(
@@ -138,7 +147,8 @@ def project(
     color = eval_sh(scene.sh, view_dir, degree=sh_degree)
 
     return Projected(means2d=means2d, conic=conic, depth=z, radius=radius,
-                     color=color, opacity=opacity, valid=valid)
+                     extent=extent, qmax=qmax, color=color, opacity=opacity,
+                     valid=valid)
 
 
 def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:

@@ -4,22 +4,32 @@ TPU-native replacement for the reference's global counting depth sort
 (gaussians_selection.js:417-462): instead of one global order consumed by a
 GPU instanced draw, we build — with static shapes throughout, so the whole
 pass jits — a flat *instance* list (gaussian x overlapped-tile pairs),
-lexicographically sorted by (tile, depth-rank) via a two-key ``lax.sort``,
-then scatter it into chunk-aligned per-tile ranges. The Pallas blend kernel
-walks the flat chunk list; chunk k belongs to tile ``chunk_tile[k]`` and the
-first chunk of each tile resets the per-pixel transmittance carry.
+sorted by tile via a stable ``lax.sort`` (instances are emitted in depth
+order, so equal-tile runs stay depth-ordered), then scatter it into
+chunk-aligned per-tile ranges. The Pallas blend kernel walks the flat chunk
+list; chunk k belongs to tile ``chunk_tile[k]``, the first chunk of each
+tile resets the per-pixel transmittance carry, and ``chunk_live[k]`` lets the
+kernel skip all-padding chunks.
 
-Static-budget strategy: ``budget = round_up(budget_factor * N, chunk)``
-instances; on overflow the *deepest* instances are dropped (the instance list
-is built in depth-sorted order) and ``num_dropped`` reports how many.
-Every tile owns at least one (possibly all-padding) chunk so every output
-block is written.
+Instance enumeration is *tight*: candidate tiles come from the bbox of the
+per-axis cutoff-ellipse extents, then each (gaussian, tile) pair is kept only
+if the exact minimum of the Mahalanobis quadratic over the tile rectangle is
+<= the gaussian's opacity-aware cutoff ``qmax`` — pairs that cannot produce
+any alpha >= alpha_min are filtered before the sort, so they cost no blend
+compute (they sort to the end as sentinels and their chunks are dead).
+
+Static-budget strategy: ``budget`` bounds the bbox enumeration (on overflow
+the *deepest* instances are dropped — the instance list is built in
+depth-sorted order — and ``num_dropped`` reports how many);
+``kernel_budget <= budget`` sizes the chunk-aligned array the blend kernel
+walks, and can be bucketed to the (smaller) tight count. Every tile owns at
+least one (possibly all-padding) chunk so every output block is written.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +42,8 @@ class Binning(NamedTuple):
     inst_gauss: jax.Array   # [B_pad] i32: depth-rank per instance, -1 = padding
     chunk_tile: jax.Array   # [K] i32: owning tile of each chunk (monotone)
     chunk_first: jax.Array  # [K] i32: 1 where chunk is its tile's first
-    num_instances: jax.Array  # scalar i32 (pre-padding, pre-drop)
+    chunk_live: jax.Array   # [K] i32: 1 where chunk has >= 1 real instance
+    num_instances: jax.Array  # scalar i32 (tight count, pre-drop)
     num_dropped: jax.Array    # scalar i32
 
     @property
@@ -45,21 +56,123 @@ def instance_budget(n: int, chunk: int, budget_factor: float) -> int:
     return -(-b // chunk) * chunk
 
 
+def _tile_bbox(u, v, ex, ey, valid, ts, tiles_x, tiles_y):
+    x0 = jnp.clip(jnp.floor((u - ex) / ts).astype(jnp.int32), 0, tiles_x)
+    x1 = jnp.clip(jnp.ceil((u + ex) / ts).astype(jnp.int32), 0, tiles_x)
+    y0 = jnp.clip(jnp.floor((v - ey) / ts).astype(jnp.int32), 0, tiles_y)
+    y1 = jnp.clip(jnp.ceil((v + ey) / ts).astype(jnp.int32), 0, tiles_y)
+    bw = jnp.maximum(x1 - x0, 0)
+    bh = jnp.maximum(y1 - y0, 0)
+    cnt = jnp.where(valid, bw * bh, 0).astype(jnp.int32)
+    return x0, y0, bw, cnt
+
+
+def _rect_min_q(mx, my, ca, cb, cc, rx0, ry0, ts: float):
+    """Exact min of the conic quadratic q(p) = a dx^2 + 2b dxdy + c dy^2 over
+    the tile rectangle [rx0, rx0+ts] x [ry0, ry0+ts] (convex: either the mean
+    is inside, or the minimum lies on one of the four edges, where the 1-D
+    restriction minimizes in closed form)."""
+    x0 = rx0 - mx
+    x1 = x0 + ts
+    y0 = ry0 - my
+    y1 = y0 + ts
+    inside = (x0 <= 0.0) & (0.0 <= x1) & (y0 <= 0.0) & (0.0 <= y1)
+    ca_s = jnp.maximum(ca, 1e-12)
+    cc_s = jnp.maximum(cc, 1e-12)
+
+    def q_edge_x(ex):
+        ys = jnp.clip(-cb * ex / cc_s, y0, y1)
+        return (ca * ex + 2.0 * cb * ys) * ex + cc * ys * ys
+
+    def q_edge_y(ey):
+        xs = jnp.clip(-cb * ey / ca_s, x0, x1)
+        return (cc * ey + 2.0 * cb * xs) * ey + ca * xs * xs
+
+    mq = jnp.minimum(jnp.minimum(q_edge_x(x0), q_edge_x(x1)),
+                     jnp.minimum(q_edge_y(y0), q_edge_y(y1)))
+    return jnp.where(inside, 0.0, mq)
+
+
 @functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y",
                                              "tile_size"))
 def count_instances(proj: Projected, *, tiles_x: int, tiles_y: int,
                     tile_size: int) -> jax.Array:
-    """Exact instance count for a projection (cheap: no sort), used to
-    right-size the static budget — every B-sized op costs linearly in B."""
-    ts = float(tile_size)
-    u, v, r = proj.means2d[:, 0], proj.means2d[:, 1], proj.radius
-    x0 = jnp.clip(jnp.floor((u - r) / ts).astype(jnp.int32), 0, tiles_x)
-    x1 = jnp.clip(jnp.ceil((u + r) / ts).astype(jnp.int32), 0, tiles_x)
-    y0 = jnp.clip(jnp.floor((v - r) / ts).astype(jnp.int32), 0, tiles_y)
-    y1 = jnp.clip(jnp.ceil((v + r) / ts).astype(jnp.int32), 0, tiles_y)
-    cnt = jnp.where(proj.valid,
-                    jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0), 0)
+    """Bbox instance count (no sort): an upper bound on the tight count,
+    used to size the static enumeration budget."""
+    u, v = proj.means2d[:, 0], proj.means2d[:, 1]
+    _, _, _, cnt = _tile_bbox(u, v, proj.extent[:, 0], proj.extent[:, 1],
+                              proj.valid, float(tile_size), tiles_x, tiles_y)
     return jnp.sum(cnt)
+
+
+def _expand_instances(u, v, extent, conic, qmax, valid, *, tiles_x, tiles_y,
+                      tile_size, budget, n):
+    """Enumerate (depth-rank, tile) instance pairs from depth-SORTED per-
+    gaussian arrays; tight-filtered pairs get the sentinel tile ``num_tiles``.
+    Returns (tile [B], g [B], total bbox count, tight count)."""
+    ts = float(tile_size)
+    num_tiles = tiles_x * tiles_y
+    x0, y0, bw, cnt = _tile_bbox(u, v, extent[:, 0], extent[:, 1], valid,
+                                 ts, tiles_x, tiles_y)
+
+    offsets = jnp.cumsum(cnt) - cnt  # exclusive
+    total = offsets[-1] + cnt[-1]
+
+    # --- expand to instances (slot j -> (gaussian rank, tile)).
+    # "segment id from counts" via scatter-add of start markers + cumsum:
+    # jnp.searchsorted costs ~128ms for 1M queries on TPU, this costs ~0.2ms.
+    j = jnp.arange(budget, dtype=jnp.int32)
+    marks = jnp.zeros((budget,), jnp.int32).at[offsets].add(
+        1, mode="drop")  # empty gaussians stack marks at the same slot
+    g = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
+    inside = j < total
+    # ONE row gather instead of ten B-sized gathers: on TPU a B-element
+    # gather costs ~7.6ms/1M regardless of row width, so coalescing columns
+    # is a big saving on this stage.
+    gtab = jnp.stack([
+        offsets.astype(jnp.float32), jnp.maximum(bw, 1).astype(jnp.float32),
+        x0.astype(jnp.float32), y0.astype(jnp.float32),
+        u, v, conic[:, 0], conic[:, 1], conic[:, 2], qmax], axis=1)  # [N,10]
+    grow = gtab[g]                                                   # [B,10]
+    local = j - grow[:, 0].astype(jnp.int32)
+    bw_g = grow[:, 1]
+    # int div/mod by a vector is emulated (slow) on the VPU; bbox extents are
+    # small, so exact f32 reciprocal division is safe: (local+0.5)/bw is
+    # never integral and f32 error ~2^-24 * quotient << 0.5 => exact floor.
+    row = jnp.floor((local.astype(jnp.float32) + 0.5) / bw_g)
+    col = (local.astype(jnp.float32) - row * bw_g).astype(jnp.int32)
+    row = row.astype(jnp.int32)
+    tcol = grow[:, 2].astype(jnp.int32) + col
+    trow = grow[:, 3].astype(jnp.int32) + row
+    tile = trow * tiles_x + tcol
+
+    # --- tight filter: exact ellipse/tile-rect intersection
+    min_q = _rect_min_q(grow[:, 4], grow[:, 5], grow[:, 6], grow[:, 7],
+                        grow[:, 8], tcol.astype(jnp.float32) * ts,
+                        trow.astype(jnp.float32) * ts, ts)
+    keep = inside & (min_q <= grow[:, 9])
+    tile = jnp.where(keep, tile, num_tiles)  # sentinel tile
+    tight = jnp.sum(keep.astype(jnp.int32))
+    return tile, g, total, tight
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_size", "budget"))
+def count_instances_tight(proj: Projected, *, tiles_x: int, tiles_y: int,
+                          tile_size: int, budget: int) -> jax.Array:
+    """Exact tight instance count (runs the enumeration + filter, no sort);
+    used to right-size ``kernel_budget``. ``budget`` must be >= the bbox
+    count (from ``count_instances``)."""
+    n = proj.depth.shape[0]
+    order = jnp.argsort(
+        jnp.where(proj.valid, proj.depth, jnp.inf), stable=True
+    ).astype(jnp.int32)
+    _, _, _, tight = _expand_instances(
+        proj.means2d[order, 0], proj.means2d[order, 1], proj.extent[order],
+        proj.conic[order], proj.qmax[order], proj.valid[order],
+        tiles_x=tiles_x, tiles_y=tiles_y, tile_size=tile_size, budget=budget,
+        n=n)
+    return tight
 
 
 def bucket_budget(count: int, chunk: int, *, slack: float = 1.08,
@@ -75,7 +188,7 @@ def bucket_budget(count: int, chunk: int, *, slack: float = 1.08,
 
 @functools.partial(
     jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_size", "chunk",
-                              "budget"))
+                              "budget", "kernel_budget"))
 def bin_gaussians(
     proj: Projected,
     *,
@@ -84,62 +197,33 @@ def bin_gaussians(
     tile_size: int,
     chunk: int,
     budget: int,
+    kernel_budget: Optional[int] = None,
 ) -> Binning:
     n = proj.depth.shape[0]
     num_tiles = tiles_x * tiles_y
-    b_pad = budget + num_tiles * chunk
+    if kernel_budget is None:
+        kernel_budget = budget
+    b_pad = kernel_budget + num_tiles * chunk
 
     # --- depth sort (ascending; invalid to the end; stable => index tiebreak)
     depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
 
-    u = proj.means2d[order, 0]
-    v = proj.means2d[order, 1]
-    r = proj.radius[order]
-    valid_s = proj.valid[order]
-
-    # --- tile bbox per sorted gaussian (conservative cover of the 3.33s disc)
-    ts = float(tile_size)
-    x0 = jnp.clip(jnp.floor((u - r) / ts).astype(jnp.int32), 0, tiles_x)
-    x1 = jnp.clip(jnp.ceil((u + r) / ts).astype(jnp.int32), 0, tiles_x)
-    y0 = jnp.clip(jnp.floor((v - r) / ts).astype(jnp.int32), 0, tiles_y)
-    y1 = jnp.clip(jnp.ceil((v + r) / ts).astype(jnp.int32), 0, tiles_y)
-    bw = jnp.maximum(x1 - x0, 0)
-    bh = jnp.maximum(y1 - y0, 0)
-    cnt = jnp.where(valid_s, bw * bh, 0).astype(jnp.int32)
-
-    offsets = jnp.cumsum(cnt) - cnt  # exclusive
-    total = offsets[-1] + cnt[-1]
-    num_dropped = jnp.maximum(total - budget, 0)
-
-    # --- expand to instances (slot j -> (gaussian rank, tile)).
-    # "segment id from counts" via scatter-add of start markers + cumsum:
-    # jnp.searchsorted costs ~128ms for 1M queries on TPU, this costs ~0.2ms.
-    j = jnp.arange(budget, dtype=jnp.int32)
-    marks = jnp.zeros((budget,), jnp.int32).at[offsets].add(
-        1, mode="drop")  # empty gaussians stack marks at the same slot
-    g = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
-    inside = j < total
-    # ONE row gather instead of four B-sized gathers: on TPU a B-element
-    # gather costs ~7.6ms/1M regardless of row width, so coalescing columns
-    # is a ~4x saving on this stage.
-    gtab = jnp.stack([offsets, jnp.maximum(bw, 1), x0, y0], axis=1)  # [N, 4]
-    grow = gtab[g]                                                   # [B, 4]
-    local = j - grow[:, 0]
-    bw_g = grow[:, 1]
-    # int div/mod by a vector is emulated (slow) on the VPU; bbox extents are
-    # small, so exact f32 reciprocal division is safe: (local+0.5)/bw is
-    # never integral and f32 error ~2^-24 * quotient << 0.5 => exact floor.
-    row = jnp.floor((local.astype(jnp.float32) + 0.5)
-                    / bw_g.astype(jnp.float32)).astype(jnp.int32)
-    col = local - row * bw_g
-    tile = (grow[:, 3] + row) * tiles_x + (grow[:, 2] + col)
-    tile = jnp.where(inside, tile, num_tiles)  # sentinel tile for empty slots
+    tile, g, total, tight = _expand_instances(
+        proj.means2d[order, 0], proj.means2d[order, 1], proj.extent[order],
+        proj.conic[order], proj.qmax[order], proj.valid[order],
+        tiles_x=tiles_x, tiles_y=tiles_y, tile_size=tile_size, budget=budget,
+        n=n)
+    # Instances dropped: bbox overflow past the enumeration budget, plus
+    # tight instances that don't fit the kernel budget (deepest-first both).
+    num_dropped = (jnp.maximum(total - budget, 0)
+                   + jnp.maximum(tight - kernel_budget, 0))
 
     # --- per-tile lists in depth order: instances are emitted in depth-rank
     # order, and lax.sort is stable, so sorting by tile alone (g as payload)
     # keeps equal-tile runs depth-ordered — half the comparator work of a
-    # two-key lexicographic sort
+    # two-key lexicographic sort. Filtered/padding instances carry the
+    # sentinel tile and sort to the end.
     inst_tile, inst_g = jax.lax.sort((tile, g), num_keys=1, is_stable=True)
 
     # --- per-tile ranges from the SORTED tile array: searchsorted with only
@@ -149,6 +233,11 @@ def bin_gaussians(
     ).astype(jnp.int32)
     n_t = jnp.diff(tile_start)
     tile_start = tile_start[:num_tiles]
+    # Cap per-tile counts so Sum(ceil(n_t/chunk)*chunk) <= b_pad always holds
+    # (kernel-budget overflow sheds whole trailing tiles' excess; only binds
+    # when tight > kernel_budget, i.e. the budget heuristic undershot).
+    csum = jnp.cumsum(n_t)
+    n_t = jnp.clip(kernel_budget - (csum - n_t), 0, n_t)
 
     # --- chunk-aligned per-tile ranges (>= 1 chunk per tile, even if empty)
     pad_cnt = jnp.maximum(-(-n_t // chunk) * chunk, chunk)
@@ -161,17 +250,50 @@ def bin_gaussians(
         1, mode="drop")
     chunk_tile = jnp.clip(jnp.cumsum(cmarks) - 1, 0, num_tiles - 1)
     chunk_first = (cmarks > 0).astype(jnp.int32)
+    # chunk k is live iff its slot range intersects its tile's real instances
+    k_idx = jnp.arange(num_chunks, dtype=jnp.int32)
+    local_off = k_idx * chunk - pad_off[chunk_tile]
+    chunk_live = ((local_off >= 0) & (local_off < n_t[chunk_tile])
+                  ).astype(jnp.int32)
 
-    # --- scatter instances into padded chunk-aligned slots (dst is monotone;
-    # a scatter beats the gather formulation here, measured on v5e)
+    # --- scatter instances into padded chunk-aligned slots. The destination
+    # is dst = pad_off[t] + (j - tile_start[t]) = j + delta[t] with
+    # delta[t] = pad_off[t] - tile_start[t] constant per tile run of the
+    # SORTED stream — so instead of a B-row table gather (~2ms at 250k on
+    # v5e) we scatter num_tiles values at the run starts and spread them
+    # down the runs with one cummax (delta rides a +K*t ramp to stay
+    # monotone; K bounds |delta| <= b_pad and the ramp fits i32).
+    j = jnp.arange(budget, dtype=jnp.int32)
     is_real = inst_tile < num_tiles
-    t_c = jnp.minimum(inst_tile, num_tiles - 1)
-    ttab = jnp.stack([pad_off, tile_start], axis=1)  # [T, 2], one row gather
-    trow = ttab[t_c]                                 # [B, 2]
-    dst = jnp.where(is_real, trow[:, 0] + (j - trow[:, 1]), b_pad)
+    span = budget + b_pad + 1
+    ramp_k = 1 << max(span - 1, 1).bit_length()
+
+    if ramp_k * (num_tiles + 2) < 2 ** 31:
+
+        def spread(vals):
+            """Scatter per-tile vals at run starts, spread down the sorted
+            stream with one cummax (a +ramp_k*t staircase keeps the running
+            max pinned to the current run's seed)."""
+            enc = vals + ramp_k * jnp.arange(1, num_tiles + 1,
+                                             dtype=jnp.int32)
+            seed = jnp.full((budget,), jnp.int32(-2 ** 31), jnp.int32)
+            seed = seed.at[tile_start].max(enc, mode="drop")
+            return jax.lax.cummax(seed) - ramp_k * (inst_tile + 1)
+
+        delta = spread(pad_off - tile_start)
+        cap = spread(pad_off + n_t)   # dst < cap <=> rank_in_tile < n_t[t]
+    else:
+        # huge-image fallback: the staircase would overflow i32 — pay the
+        # B-row table gather instead
+        t_c = jnp.minimum(inst_tile, num_tiles - 1)
+        ttab = jnp.stack([pad_off - tile_start, pad_off + n_t], axis=1)
+        trow = ttab[t_c]
+        delta, cap = trow[:, 0], trow[:, 1]
+    dst = j + delta
+    dst = jnp.where(is_real & (dst < cap), dst, b_pad)
     inst_gauss = jnp.full((b_pad,), -1, dtype=jnp.int32)
     inst_gauss = inst_gauss.at[dst].set(inst_g, mode="drop")
 
     return Binning(order=order, inst_gauss=inst_gauss, chunk_tile=chunk_tile,
-                   chunk_first=chunk_first, num_instances=total,
-                   num_dropped=num_dropped)
+                   chunk_first=chunk_first, chunk_live=chunk_live,
+                   num_instances=tight, num_dropped=num_dropped)
