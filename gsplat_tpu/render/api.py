@@ -13,6 +13,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gsplat_tpu.config import Config, DEFAULT, UNLABELED
 from gsplat_tpu.io.cameras import Camera
@@ -24,6 +25,45 @@ from gsplat_tpu.render.tiles import (Binning, bin_gaussians, bucket_budget,
 from gsplat_tpu.scene import GaussianScene
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _gather_instance_rows(ptab_sorted, inst_gauss, inst_dst, enum_start,
+                          enum_cnt):
+    rows = ptab_sorted[jnp.maximum(inst_gauss, 0)]     # [B_pad, 16]
+    return jnp.where((inst_gauss >= 0)[:, None], rows, 0.0)
+
+
+def _gather_rows_fwd(ptab_sorted, inst_gauss, inst_dst, enum_start, enum_cnt):
+    out = _gather_instance_rows(ptab_sorted, inst_gauss, inst_dst, enum_start,
+                                enum_cnt)
+    return out, (inst_gauss, inst_dst, enum_start, enum_cnt,
+                 ptab_sorted.shape[0])
+
+
+def _gather_rows_bwd(res, drows):
+    """Instance->gaussian gradient reduction WITHOUT a scatter-add (~5ms at
+    300k rows on v5e): reorder the per-slot gradient rows into enumeration
+    order (instances of one gaussian are consecutive there), then segment-sum
+    consecutive runs via one cumsum + two boundary row-gathers (~2ms)."""
+    inst_gauss, inst_dst, enum_start, enum_cnt, n = res
+    b_pad = inst_gauss.shape[0]
+    budget = inst_dst.shape[0]
+    kept = inst_dst < b_pad
+    denum = jnp.where(
+        kept[:, None], drows[jnp.minimum(inst_dst, b_pad - 1)], 0.0)
+    cs = jnp.cumsum(denum, axis=0)                     # [B, 16] f32
+    hi_idx = jnp.clip(enum_start + enum_cnt - 1, 0, budget - 1)
+    hi = cs[hi_idx]
+    lo = jnp.where((enum_start > 0)[:, None],
+                   cs[jnp.maximum(enum_start - 1, 0)], 0.0)
+    dptab = jnp.where((enum_cnt > 0)[:, None], hi - lo, 0.0)
+    zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dptab, zi(inst_gauss), zi(inst_dst), zi(enum_start),
+            zi(enum_cnt))
+
+
+_gather_instance_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def pack_instance_params(
     proj: Projected,
     labels: jax.Array,
@@ -31,11 +71,9 @@ def pack_instance_params(
 ) -> jax.Array:
     """Gather projected gaussians into the [B_pad, 16] per-instance matrix.
 
-    The gathers are plain jnp, so autodiff's transpose (scatter-add over
-    duplicated instances) routes kernel gradients back to per-gaussian
-    parameters for free. Column packing happens at N size (cheap) so the
-    B_pad-sized expansion is ONE row gather — B-element gathers cost
-    ~7.6ms/1M on v5e regardless of row width.
+    Column packing happens at N size (cheap) so the B_pad-sized expansion is
+    ONE row gather; its custom VJP segment-sums instance gradients back to
+    gaussians in enumeration order instead of paying XLA's scatter-add.
     """
     n = proj.opacity.shape[0]
     ptab = jnp.stack([
@@ -48,9 +86,9 @@ def pack_instance_params(
     ] + [jnp.zeros((n,), jnp.float32)] * (blend_pallas.PARAM_ROWS - 11),
         axis=1)                                        # [N, 16]
     ptab_sorted = ptab[binning.order]                  # [N, 16]
-    rank = binning.inst_gauss
-    rows = ptab_sorted[jnp.maximum(rank, 0)]           # [B_pad, 16] ONE gather
-    return jnp.where((rank >= 0)[:, None], rows, 0.0)
+    return _gather_instance_rows(ptab_sorted, binning.inst_gauss,
+                                 binning.inst_dst, binning.enum_start,
+                                 binning.enum_cnt)
 
 
 @functools.partial(

@@ -43,6 +43,11 @@ class Binning(NamedTuple):
     chunk_tile: jax.Array   # [K] i32: owning tile of each chunk (monotone)
     chunk_first: jax.Array  # [K] i32: 1 where chunk is its tile's first
     chunk_live: jax.Array   # [K] i32: 1 where chunk has >= 1 real instance
+    inst_dst: jax.Array     # [B] i32: kernel slot per ENUMERATION index
+    #                         (gaussian-major, depth order), b_pad = dropped
+    enum_start: jax.Array   # [N] i32: first enumeration index per sorted
+    #                         gaussian (exclusive prefix of bbox counts)
+    enum_cnt: jax.Array     # [N] i32: bbox instance count per sorted gaussian
     num_instances: jax.Array  # scalar i32 (tight count, pre-drop)
     num_dropped: jax.Array    # scalar i32
 
@@ -153,7 +158,7 @@ def _expand_instances(u, v, extent, conic, qmax, valid, *, tiles_x, tiles_y,
     keep = inside & (min_q <= grow[:, 9])
     tile = jnp.where(keep, tile, num_tiles)  # sentinel tile
     tight = jnp.sum(keep.astype(jnp.int32))
-    return tile, g, total, tight
+    return tile, g, total, tight, offsets, cnt
 
 
 @functools.partial(
@@ -167,11 +172,11 @@ def count_instances_tight(proj: Projected, *, tiles_x: int, tiles_y: int,
     order = jnp.argsort(
         jnp.where(proj.valid, proj.depth, jnp.inf), stable=True
     ).astype(jnp.int32)
-    _, _, _, tight = _expand_instances(
+    tight = _expand_instances(
         proj.means2d[order, 0], proj.means2d[order, 1], proj.extent[order],
         proj.conic[order], proj.qmax[order], proj.valid[order],
         tiles_x=tiles_x, tiles_y=tiles_y, tile_size=tile_size, budget=budget,
-        n=n)
+        n=n)[3]
     return tight
 
 
@@ -209,7 +214,7 @@ def bin_gaussians(
     depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
 
-    tile, g, total, tight = _expand_instances(
+    tile, g, total, tight, enum_start, enum_cnt = _expand_instances(
         proj.means2d[order, 0], proj.means2d[order, 1], proj.extent[order],
         proj.conic[order], proj.qmax[order], proj.valid[order],
         tiles_x=tiles_x, tiles_y=tiles_y, tile_size=tile_size, budget=budget,
@@ -224,7 +229,9 @@ def bin_gaussians(
     # keeps equal-tile runs depth-ordered — half the comparator work of a
     # two-key lexicographic sort. Filtered/padding instances carry the
     # sentinel tile and sort to the end.
-    inst_tile, inst_g = jax.lax.sort((tile, g), num_keys=1, is_stable=True)
+    je = jnp.arange(budget, dtype=jnp.int32)  # enumeration index payload
+    inst_tile, inst_g, inst_je = jax.lax.sort(
+        (tile, g, je), num_keys=1, is_stable=True)
 
     # --- per-tile ranges from the SORTED tile array: searchsorted with only
     # num_tiles+1 queries (scatter-based bincount costs ~9ms at 1M instances)
@@ -293,7 +300,14 @@ def bin_gaussians(
     dst = jnp.where(is_real & (dst < cap), dst, b_pad)
     inst_gauss = jnp.full((b_pad,), -1, dtype=jnp.int32)
     inst_gauss = inst_gauss.at[dst].set(inst_g, mode="drop")
+    # enumeration-order slot map: the instance->gaussian gradient reduction
+    # (pack's custom VJP) segment-sums consecutive enumeration runs, which
+    # costs ~2ms where the naive scatter-add transpose costs ~5ms at 300k.
+    inst_dst = jnp.full((budget,), b_pad, dtype=jnp.int32)
+    inst_dst = inst_dst.at[inst_je].set(dst, mode="drop")
 
     return Binning(order=order, inst_gauss=inst_gauss, chunk_tile=chunk_tile,
                    chunk_first=chunk_first, chunk_live=chunk_live,
+                   inst_dst=inst_dst, enum_start=enum_start,
+                   enum_cnt=enum_cnt,
                    num_instances=tight, num_dropped=num_dropped)
