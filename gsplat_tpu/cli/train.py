@@ -32,8 +32,20 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint_dir", default=None)
     ap.add_argument("--checkpoint_every", type=int, default=100)
     ap.add_argument("--log_every", type=int, default=20)
+    ap.add_argument("--loss", default="l2",
+                    choices=["l2", "l1", "dssim_l1"],
+                    help="photometric objective (dssim_l1 = 3DGS standard)")
+    ap.add_argument("--densify_every", type=int, default=0,
+                    help="adaptive density control interval (0 = off)")
+    ap.add_argument("--densify_until", type=int, default=None,
+                    help="stop densifying after this step (default iters/2)")
+    ap.add_argument("--capacity_factor", type=float, default=4.0,
+                    help="gaussian buffer capacity as a multiple of init N")
+    ap.add_argument("--opacity_reset_every", type=int, default=0,
+                    help="periodic opacity reset interval (0 = off)")
     args = ap.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
     from PIL import Image
 
@@ -77,9 +89,31 @@ def main(argv=None) -> int:
     print(f"{scene.num_gaussians} gaussians")
 
     w, h = cameras[0].width, cameras[0].height
-    budget = instance_budget(scene.num_gaussians, DEFAULT.tiles.chunk,
+    adaptive = args.densify_every > 0
+    if adaptive:
+        from gsplat_tpu.models import densify as dz
+        capacity = -(-int(scene.num_gaussians * args.capacity_factor)
+                     // 128) * 128
+        params0, labels0 = dz.pad_to_capacity(
+            trainer.SceneParams.from_scene(scene), jnp.asarray(scene.labels),
+            capacity)
+        scene = params0.to_scene(labels0)
+        centers = np.stack([c.position for c in cameras])
+        scene_extent = float(np.abs(centers).max()) or 1.0
+        print(f"adaptive density: capacity {capacity}")
+    n_for_budget = scene.num_gaussians
+    budget = instance_budget(n_for_budget, DEFAULT.tiles.chunk,
                              args.budget_factor)
-    step = trainer.make_train_step((w, h), DEFAULT, lr=args.lr, budget=budget)
+    if adaptive:
+        step = trainer.make_adaptive_train_step(
+            (w, h), DEFAULT, lr=args.lr, budget=budget, loss=args.loss)
+        stats = dz.DensifyStats.zeros(scene.num_gaussians)
+        densify_until = (args.densify_until if args.densify_until is not None
+                         else args.iters // 2)
+        key = jax.random.PRNGKey(0)
+    else:
+        step = trainer.make_train_step((w, h), DEFAULT, lr=args.lr,
+                                       budget=budget, loss=args.loss)
     state = trainer.init_state(scene, lr=args.lr)
     start = 0
     if args.checkpoint_dir and os.path.exists(
@@ -95,7 +129,24 @@ def main(argv=None) -> int:
     labels = jnp.asarray(scene.labels)
     for it in range(start, args.iters):
         v = it % len(cameras)
-        state, loss = step(state, labels, cams_j[v], tgts_j[v], bg)
+        if adaptive:
+            state, stats, loss = step(state, stats, labels, cams_j[v],
+                                      tgts_j[v], bg)
+            if it > 0 and it % args.densify_every == 0 and it < densify_until:
+                key, sub = jax.random.split(key)
+                new_params, labels, stats = dz.densify_and_prune(
+                    state.params, labels, stats, sub, scene_extent)
+                state = trainer.TrainState(new_params, state.opt_state,
+                                           state.step)
+                print(f"step {it}: densify -> "
+                      f"{int(dz.num_alive(new_params))} alive")
+            if (args.opacity_reset_every
+                    and it % args.opacity_reset_every == 0 and it > 0):
+                state = trainer.TrainState(
+                    dz.reset_opacities(state.params), state.opt_state,
+                    state.step)
+        else:
+            state, loss = step(state, labels, cams_j[v], tgts_j[v], bg)
         if it % args.log_every == 0 or it == args.iters - 1:
             print(f"step {it}: loss {float(loss):.6f}")
         if (args.checkpoint_dir and it > start
@@ -104,9 +155,26 @@ def main(argv=None) -> int:
                              state)
 
     final = state.params.to_scene(labels)
+    if adaptive:
+        final = _compact_alive(final)
     ply.scene_to_ply(args.out, final)
     print(f"wrote {args.out}")
     return 0
+
+
+def _compact_alive(scene):
+    """Drop dead (pruned) slots before writing the final PLY."""
+    import numpy as np
+
+    from gsplat_tpu.models.densify import DEAD_LOGIT
+    from gsplat_tpu.scene import GaussianScene
+
+    s = scene.to_numpy()
+    alive = s.opacities > DEAD_LOGIT + 1.0
+    return GaussianScene(
+        means=s.means[alive], log_scales=s.log_scales[alive],
+        quats=s.quats[alive], opacities=s.opacities[alive],
+        sh=s.sh[alive], labels=s.labels[alive])
 
 
 if __name__ == "__main__":

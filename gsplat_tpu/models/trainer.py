@@ -75,6 +75,13 @@ def l2_loss(image: jax.Array, target: jax.Array) -> jax.Array:
     return 0.5 * jnp.mean((image - target) ** 2)
 
 
+def get_loss_fn(name: str):
+    """'l2' | 'l1' | 'dssim_l1' (the standard 3DGS objective)."""
+    from gsplat_tpu.models import losses
+    return {"l2": l2_loss, "l1": losses.l1_loss,
+            "dssim_l1": losses.dssim_l1_loss}[name]
+
+
 def make_train_step(
     camera_static: Tuple[int, int],
     cfg: Config = DEFAULT,
@@ -84,6 +91,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     budget_per_device: Optional[int] = None,
     interpret: Optional[bool] = None,
+    loss: str = "l2",
 ):
     """Build a jitted train step: (state, labels, cam, target, bg) -> (state, loss).
 
@@ -95,6 +103,7 @@ def make_train_step(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     opt = scaled_adam(lr)
+    photometric = get_loss_fn(loss)
 
     def loss_fn(params: SceneParams, labels, cam: CameraParams, target, bg):
         scene = params.to_scene(labels)
@@ -110,7 +119,7 @@ def make_train_step(
                 budget_per_device=budget_per_device or budget,
                 background=bg, interpret=interpret)
         h = min(img.shape[0], target.shape[0])
-        return l2_loss(img[:h], target[:h])
+        return photometric(img[:h], target[:h])
 
     @jax.jit
     def train_step(state: TrainState, labels, cam: CameraParams, target, bg
@@ -178,3 +187,45 @@ def stack_cameras(cams) -> CameraParams:
         fx=jnp.asarray(np.stack([np.asarray(c.fx) for c in cams])),
         fy=jnp.asarray(np.stack([np.asarray(c.fy) for c in cams])),
     )
+
+
+def make_adaptive_train_step(
+    camera_static: Tuple[int, int],
+    cfg: Config = DEFAULT,
+    *,
+    lr: float = 1e-2,
+    budget: int,
+    interpret: Optional[bool] = None,
+    loss: str = "dssim_l1",
+):
+    """Train step that also accumulates adaptive-density statistics
+    (gsplat_tpu/models/densify.py): (state, stats, labels, cam, target, bg)
+    -> (state, stats, loss). Run ``densify_and_prune`` every K steps on the
+    host schedule; the scene lives in fixed-capacity buffers so both
+    programs compile once."""
+    from gsplat_tpu.models.densify import DensifyStats
+
+    width, height = camera_static
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    opt = scaled_adam(lr)
+    photometric = get_loss_fn(loss)
+
+    def loss_fn(params: SceneParams, labels, cam: CameraParams, target, bg):
+        out = _render_impl(
+            params.to_scene(labels), cam, bg, width=width, height=height,
+            cfg=cfg, with_labels=False, impl="pallas", interpret=interpret,
+            budget=budget)
+        return photometric(out["image"], target)
+
+    @jax.jit
+    def train_step(state: TrainState, stats: DensifyStats, labels,
+                   cam: CameraParams, target, bg):
+        loss_v, grads = jax.value_and_grad(loss_fn)(
+            state.params, labels, cam, target, bg)
+        stats = stats.update(grads)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), stats, loss_v
+
+    return train_step
