@@ -119,10 +119,13 @@ def main() -> None:
         float(run(scene, n))
         return time.time() - t0
 
-    # remote-tunnel RTT jitters by tens of ms; use min-of-2 for both points
-    dt_n = min(timed(args.iters + 1), timed(args.iters + 1))
-    dt_1 = min(timed(1), timed(1))
-    dt = max((dt_n - dt_1) / args.iters, 1e-6)
+    # remote-tunnel RTT jitters by tens of ms: take the slope between two
+    # well-separated iteration counts, min-of-3 each, so a single slow RPC
+    # can neither inflate nor deflate the per-frame figure
+    n_hi, n_lo = args.iters + 1, max(args.iters // 4, 1)
+    dt_hi = min(timed(n_hi) for _ in range(3))
+    dt_lo = min(timed(n_lo) for _ in range(3))
+    dt = max((dt_hi - dt_lo) / (n_hi - n_lo), 1e-6)
     mpix = args.width * args.height / dt / 1e6
 
     mode = "fwd" if args.forward_only else "fwd+bwd"

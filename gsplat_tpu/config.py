@@ -65,8 +65,10 @@ class TileConfig:
     """Static-shape budgets for the tile-binning pass (TPU needs fixed shapes)."""
 
     # Instance chunk length processed per Pallas grid step; also the alignment
-    # of each tile's instance range. Multiple of 128 (TPU lane width).
-    chunk: int = 128
+    # of each tile's instance range. Multiple of 8 (f32 sublane tile). 64
+    # measured best on v5e at 32x32 tiles: halves per-tile padding waste vs
+    # 128 while grid-step overhead stays amortized (32 regresses).
+    chunk: int = 64
     # Instance budget as a multiple of N (number of gaussians). The binning
     # pass reports overflow; callers can re-run with a bigger budget.
     budget_factor: float = 4.0
