@@ -29,7 +29,11 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=None,
                     help="instance budget (default: measured + bucketed)")
     ap.add_argument("--forward-only", action="store_true")
+    ap.add_argument("--tile-size", type=int, default=None)
+    ap.add_argument("--chunk", type=int, default=None)
     args = ap.parse_args()
+
+    import dataclasses as _dc
 
     import jax
     import jax.numpy as jnp
@@ -46,6 +50,11 @@ def main() -> None:
           file=sys.stderr)
 
     cfg = Config()
+    if args.tile_size is not None:
+        cfg = _dc.replace(cfg, raster=_dc.replace(
+            cfg.raster, tile_size=args.tile_size))
+    if args.chunk is not None:
+        cfg = _dc.replace(cfg, tiles=_dc.replace(cfg.tiles, chunk=args.chunk))
     cam = look_at_camera((0.0, 0.0, -3.0), (0.0, 0.0, 0.0),
                          width=args.width, height=args.height)
     scene = random_scene(args.num_gaussians, seed=0, extent=1.5,

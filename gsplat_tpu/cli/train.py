@@ -115,18 +115,30 @@ def main(argv=None) -> int:
         step = trainer.make_train_step((w, h), DEFAULT, lr=args.lr,
                                        budget=budget, loss=args.loss)
     state = trainer.init_state(scene, lr=args.lr)
+    labels = jnp.asarray(scene.labels)
     start = 0
+    # The adaptive path checkpoints everything densify mutates (labels,
+    # stats, RNG key) alongside TrainState so resume is exact — a resumed
+    # run must not revert labels to the initial padded array while params
+    # contain densified children.
+    if adaptive:
+        payload = dict(state=state, labels=labels, stats=stats, key=key)
+    else:
+        payload = dict(state=state)
     if args.checkpoint_dir and os.path.exists(
             os.path.join(args.checkpoint_dir, "state")):
-        state = ckpt.restore_pytree(
-            os.path.join(args.checkpoint_dir, "state"), like=state)
+        payload = ckpt.restore_pytree(
+            os.path.join(args.checkpoint_dir, "state"), like=payload)
+        state = payload["state"]
+        labels = payload.get("labels", labels)
+        if adaptive:
+            stats, key = payload["stats"], payload["key"]
         start = int(state.step)
         print(f"resumed at step {start}")
 
     cams_j = [CameraParams.from_camera(c) for c in cameras]
     tgts_j = [jnp.asarray(t) for t in targets]
     bg = jnp.zeros(3, jnp.float32)
-    labels = jnp.asarray(scene.labels)
     for it in range(start, args.iters):
         v = it % len(cameras)
         if adaptive:
@@ -134,25 +146,33 @@ def main(argv=None) -> int:
                                       tgts_j[v], bg)
             if it > 0 and it % args.densify_every == 0 and it < densify_until:
                 key, sub = jax.random.split(key)
-                new_params, labels, stats = dz.densify_and_prune(
+                new_params, labels, stats, written = dz.densify_and_prune(
                     state.params, labels, stats, sub, scene_extent)
-                state = trainer.TrainState(new_params, state.opt_state,
-                                           state.step)
+                # fresh splats must not inherit the pruned occupant's Adam
+                # moments (CUDA 3DGS rebuilds optimizer state per densify)
+                opt_state = trainer.zero_adam_rows(state.opt_state, written)
+                state = trainer.TrainState(new_params, opt_state, state.step)
                 print(f"step {it}: densify -> "
                       f"{int(dz.num_alive(new_params))} alive")
             if (args.opacity_reset_every
                     and it % args.opacity_reset_every == 0 and it > 0):
-                state = trainer.TrainState(
-                    dz.reset_opacities(state.params), state.opt_state,
-                    state.step)
+                new_params, changed = dz.reset_opacities(state.params)
+                opt_state = trainer.zero_adam_rows(
+                    state.opt_state, changed, fields=("opacities",))
+                state = trainer.TrainState(new_params, opt_state, state.step)
         else:
             state, loss = step(state, labels, cams_j[v], tgts_j[v], bg)
         if it % args.log_every == 0 or it == args.iters - 1:
             print(f"step {it}: loss {float(loss):.6f}")
         if (args.checkpoint_dir and it > start
                 and it % args.checkpoint_every == 0):
+            if adaptive:
+                payload = dict(state=state, labels=labels, stats=stats,
+                               key=key)
+            else:
+                payload = dict(state=state)
             ckpt.save_pytree(os.path.join(args.checkpoint_dir, "state"),
-                             state)
+                             payload)
 
     final = state.params.to_scene(labels)
     if adaptive:

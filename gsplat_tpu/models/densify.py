@@ -89,13 +89,18 @@ def densify_and_prune(
     key: jax.Array,
     scene_extent: float,
     cfg: DensifyConfig = DensifyConfig(),
-) -> Tuple[SceneParams, jax.Array, DensifyStats]:
+) -> Tuple[SceneParams, jax.Array, DensifyStats, jax.Array]:
     """One adaptive-density step over the fixed-capacity buffers.
 
     Prunes transparent/oversized splats, then fills dead slots with clones
     (small, high-grad) and splits (large, high-grad; parent's scale shrinks
     and both samples draw from the parent's distribution). Returns updated
-    (params, labels, zeroed stats). Fully jittable; shapes never change.
+    (params, labels, zeroed stats, rewritten-slot mask). Fully jittable;
+    shapes never change. The mask marks slots whose occupant changed
+    (pruned or newly written): the caller must zero the optimizer moments
+    at those rows (``trainer.zero_adam_rows``) so fresh splats do not
+    inherit the pruned previous occupant's Adam state — matching the CUDA
+    3DGS behavior of rebuilding optimizer state on every densify step.
     """
     c = params.means.shape[0]
     opac = jax.nn.sigmoid(params.opacities)
@@ -158,17 +163,23 @@ def densify_and_prune(
 
     out = SceneParams(means=means, log_scales=log_scales, quats=quats,
                       opacities=opacities, sh=sh)
-    return out, new_labels, DensifyStats.zeros(c)
+    written = jnp.zeros((c,), bool).at[dst].set(take, mode="drop") | ~keep
+    return out, new_labels, DensifyStats.zeros(c), written
 
 
-def reset_opacities(params: SceneParams, value: float = 0.01) -> SceneParams:
+def reset_opacities(params: SceneParams, value: float = 0.01
+                    ) -> Tuple[SceneParams, jax.Array]:
     """Periodic opacity reset (3DGS: clamp alive opacities down so pruning
-    can reconsider them)."""
+    can reconsider them). Returns (params, changed mask); the caller should
+    zero the opacity Adam moments at changed rows
+    (``trainer.zero_adam_rows(..., fields=("opacities",))``) like the CUDA
+    implementation's ``reset_opacity`` optimizer-state replacement."""
     alive = params.opacities > DEAD_LOGIT + 1.0
     logit = float(jnp.log(value / (1.0 - value)))
+    changed = alive & (params.opacities > logit)
     new = jnp.where(alive, jnp.minimum(params.opacities, logit),
                     params.opacities)
-    return params._replace(opacities=new)
+    return params._replace(opacities=new), changed
 
 
 def _quat_rotmats(quats: jax.Array) -> jax.Array:

@@ -71,6 +71,39 @@ def init_state(scene: GaussianScene, lr: float = 1e-2) -> TrainState:
     return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
 
+def zero_adam_rows(opt_state, mask: jax.Array, fields=None):
+    """Zero the Adam first/second moments (and any other per-gaussian
+    optimizer rows) at slots where ``mask`` is True.
+
+    Used after ``densify.densify_and_prune`` / ``densify.reset_opacities``:
+    rewritten slots must not inherit the previous occupant's moments (the
+    CUDA 3DGS trainer rebuilds its Adam state on every densify step).
+    ``fields`` restricts the reset to named SceneParams fields (e.g.
+    ``("opacities",)`` for an opacity reset).
+    """
+    c = mask.shape[0]
+
+    def z(leaf):
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] == c and jnp.issubdtype(
+                    leaf.dtype, jnp.floating)):
+            m = mask.reshape((c,) + (1,) * (leaf.ndim - 1))
+            return jnp.where(m, jnp.zeros_like(leaf), leaf)
+        return leaf
+
+    if fields is None:
+        return jax.tree_util.tree_map(z, opt_state)
+
+    def z_params(p):
+        if isinstance(p, SceneParams):
+            return p._replace(**{f: z(getattr(p, f)) for f in fields})
+        return p
+
+    return jax.tree_util.tree_map(
+        z_params, opt_state,
+        is_leaf=lambda x: isinstance(x, SceneParams))
+
+
 def l2_loss(image: jax.Array, target: jax.Array) -> jax.Array:
     return 0.5 * jnp.mean((image - target) ** 2)
 
@@ -140,6 +173,7 @@ def make_multiview_train_step(
     lr: float = 1e-2,
     budget: int,
     interpret: Optional[bool] = None,
+    loss: str = "l2",
 ):
     """Train step averaging the photometric loss over a BATCH of views
     (cams: stacked CameraParams [V, ...], targets [V, H, W, 3]) via
@@ -149,6 +183,7 @@ def make_multiview_train_step(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     opt = scaled_adam(lr)
+    photometric = get_loss_fn(loss)
 
     def loss_fn(params: SceneParams, labels, cams: CameraParams, targets,
                 bg):
@@ -160,7 +195,7 @@ def make_multiview_train_step(
                 scene, cam, bg, width=width, height=height, cfg=cfg,
                 with_labels=False, impl="pallas", interpret=interpret,
                 budget=budget)
-            return acc + l2_loss(out["image"], target), None
+            return acc + photometric(out["image"], target), None
 
         total, _ = jax.lax.scan(body, 0.0, (cams, targets))
         return total / targets.shape[0]

@@ -65,10 +65,13 @@ def test_densify_split_and_clone_fill_dead_slots():
     g = jnp.zeros((c,)).at[:8].set(1.0)
     stats = DensifyStats(grad_accum=g, count=jnp.ones((c,)))
     cfg = DensifyConfig(grad_threshold=0.5, percent_dense=0.0)  # all split
-    out, labels2, stats2 = densify_and_prune(
+    out, labels2, stats2, written = densify_and_prune(
         params, labels, stats, jax.random.PRNGKey(0), scene_extent=1.0,
         cfg=cfg)
     assert int(num_alive(out)) == 64 + 8
+    # the rewritten-slot mask covers exactly the filled dead slots
+    assert int(jnp.sum(written & (jnp.arange(c) < 64))) == 0
+    assert int(jnp.sum(written)) == 64  # 8 new children + 56 still-dead
     # children inherit labels from parents
     assert set(np.asarray(labels2[64:72]).tolist()) <= set(
         np.asarray(labels[:8]).tolist())
@@ -84,16 +87,19 @@ def test_densify_prune_kills_transparent():
     params = params._replace(
         opacities=params.opacities.at[:10].set(-8.0))  # sigmoid ~ 3e-4
     stats = DensifyStats.zeros(c)
-    out, _, _ = densify_and_prune(
+    out, _, _, written = densify_and_prune(
         params, labels, stats, jax.random.PRNGKey(0), scene_extent=1.0)
     assert int(num_alive(out)) == 64 - 10
     assert bool(jnp.all(out.opacities[:10] == DEAD_LOGIT))
+    # pruned slots are marked rewritten so their Adam moments get zeroed
+    assert bool(jnp.all(written[:10]))
 
 
 def test_reset_opacities_only_touches_alive():
     _, params, _ = _padded_scene()
-    out = reset_opacities(params, value=0.01)
+    out, changed = reset_opacities(params, value=0.01)
     alive = params.opacities > DEAD_LOGIT + 1.0
+    assert bool(jnp.all(~changed[~alive]))
     assert bool(jnp.all(out.opacities[~alive] == params.opacities[~alive]))
     assert float(jnp.max(jax.nn.sigmoid(out.opacities[alive]))) <= 0.011
 
@@ -117,7 +123,50 @@ def test_adaptive_training_improves_loss():
     assert float(loss) < first
     assert float(jnp.max(stats.count)) > 0
     # a densify step keeps everything finite and static-shaped
-    out, labels2, stats2 = densify_and_prune(
+    out, labels2, stats2, _ = densify_and_prune(
         state.params, labels, stats, jax.random.PRNGKey(1), scene_extent=1.0)
     assert out.means.shape == state.params.means.shape
     assert np.isfinite(np.asarray(out.means)).all()
+
+
+def test_zero_adam_rows_resets_moments_at_written_slots():
+    from gsplat_tpu.models.trainer import zero_adam_rows
+    scene, params, labels = _padded_scene()
+    c = params.means.shape[0]
+    state = init_state(params.to_scene(labels), lr=1e-2)
+    # fabricate nonzero moments everywhere
+    opt = jax.tree_util.tree_map(
+        lambda a: (jnp.ones_like(a) if hasattr(a, "dtype")
+                   and jnp.issubdtype(a.dtype, jnp.floating) else a),
+        state.opt_state)
+    mask = jnp.zeros((c,), bool).at[:5].set(True)
+    out = zero_adam_rows(opt, mask)
+    mu = out[0].mu  # ScaleByAdamState of the optax.chain's first transform
+    assert float(jnp.sum(jnp.abs(mu.means[:5]))) == 0.0
+    assert float(jnp.min(jnp.abs(mu.means[5:]))) == 1.0
+    assert float(jnp.min(jnp.abs(out[0].nu.quats[:5]))) == 0.0
+    # field-restricted variant only touches the named field
+    out2 = zero_adam_rows(opt, mask, fields=("opacities",))
+    assert float(jnp.sum(jnp.abs(out2[0].mu.opacities[:5]))) == 0.0
+    assert float(jnp.min(jnp.abs(out2[0].mu.means[:5]))) == 1.0
+
+
+def test_multiview_train_step_honors_loss():
+    from gsplat_tpu.models.trainer import (make_multiview_train_step,
+                                           stack_cameras)
+    from gsplat_tpu.render.projection import CameraParams
+    scene = random_scene(32, seed=1, extent=1.0, scale_range=(0.05, 0.1),
+                         num_labels=2)
+    cam = look_at_camera((0, 0, -3.0), (0, 0, 0), width=32, height=32)
+    cams = stack_cameras([CameraParams.from_camera(cam)] * 2)
+    targets = jnp.zeros((2, 32, 32, 3), jnp.float32) + 0.25
+    bg = jnp.zeros(3)
+    losses_seen = {}
+    for name in ("l2", "l1"):
+        step = make_multiview_train_step((32, 32), Config(), lr=1e-2,
+                                         budget=1024, loss=name)
+        state = init_state(scene, lr=1e-2)
+        _, lv = step(state, scene.labels, cams, targets, bg)
+        losses_seen[name] = float(lv)
+    # different objectives must actually change the computed loss
+    assert losses_seen["l2"] != losses_seen["l1"]
