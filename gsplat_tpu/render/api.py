@@ -19,10 +19,119 @@ from gsplat_tpu.config import Config, DEFAULT, UNLABELED
 from gsplat_tpu.io.cameras import Camera
 from gsplat_tpu.render import blend_pallas, blend_xla
 from gsplat_tpu.render.projection import CameraParams, Projected, project, tile_grid
-from gsplat_tpu.render.tiles import (Binning, bin_gaussians, bucket_budget,
-                                     count_instances, count_instances_tight,
-                                     instance_budget)
+from gsplat_tpu.render.tiles import (Binning, bin_gaussians, bin_windows,
+                                     bucket_budget, count_instances,
+                                     count_instances_tight, instance_budget,
+                                     num_windows_static)
 from gsplat_tpu.scene import GaussianScene
+
+
+def pack_scene_table(proj: Projected, labels: jax.Array,
+                     order: jax.Array) -> jax.Array:
+    """[N, 16] rank-indexed per-gaussian parameter table.
+
+    Row r holds the r-th-closest gaussian's packed params; column P_RANK is
+    the row index itself (carried into the kernels so the backward pass can
+    address its gradient scatter). Differentiable: the order-gather's VJP is
+    a unique-index scatter-add back to original gaussian order.
+    """
+    n = proj.opacity.shape[0]
+    ptab = jnp.stack([
+        proj.means2d[:, 0], proj.means2d[:, 1],
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        proj.opacity,
+        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        jnp.ones((n,), jnp.float32),
+        labels.astype(jnp.float32),
+    ] + [jnp.zeros((n,), jnp.float32)] * (blend_pallas.PARAM_ROWS - 11),
+        axis=1)                                        # [N, 16]
+    ptab_rank = ptab[order]                            # [N, 16]
+    rank_col = jnp.arange(n, dtype=jnp.float32)[:, None]
+    return jax.lax.dynamic_update_slice(
+        ptab_rank, rank_col, (0, blend_pallas.P_RANK))
+
+
+def _window_params(ptab_rank: jax.Array, ranks: jax.Array,
+                   chunk: int) -> jax.Array:
+    """Dense sorted instance rows [B + chunk + WIN_PAD, PARAM_LANES].
+
+    Width 128 so the kernel's window DMA slices full physical rows (XLA
+    lane-pads a [R, 16] f32 array to 128 lanes in HBM regardless, so this
+    costs no extra memory); trailing zero rows keep fixed-size window
+    fetches in bounds."""
+    dense = ptab_rank.at[ranks].get(mode="clip")       # [B, 16]
+    return jnp.pad(dense, ((0, chunk + blend_pallas.WIN_PAD),
+                           (0, blend_pallas.PARAM_LANES - dense.shape[1])))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12,
+                                                    13, 14))
+def blend_scene_windows(
+    ptab_rank: jax.Array,    # [N, 16] rank-indexed params
+    ranks: jax.Array,        # [B] i32 sorted instance ranks
+    win_tile: jax.Array,     # [K] i32
+    win_first: jax.Array,    # [K] i32
+    win_start: jax.Array,    # [K] i32
+    win_len: jax.Array,      # [K] i32
+    chunk: int,
+    tile_size: int,
+    tiles_x: int,
+    num_tiles: int,
+    alpha_min: float,
+    alpha_max: float,
+    with_labels: bool,
+    interpret: bool,
+    early_eps: float,
+) -> jax.Array:
+    """Differentiable window compositing. Returns [num_tiles, 8, P]."""
+    params = _window_params(ptab_rank, ranks, chunk)
+    return blend_pallas.blend_windows_fwd(
+        params, win_tile, win_first, win_start, win_len, chunk=chunk,
+        tile_size=tile_size, tiles_x=tiles_x, num_tiles=num_tiles,
+        alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels,
+        interpret=interpret, early_eps=early_eps)
+
+
+def _blend_windows_fwd_rule(ptab_rank, ranks, win_tile, win_first, win_start,
+                            win_len, chunk, tile_size, tiles_x, num_tiles,
+                            alpha_min, alpha_max, with_labels, interpret,
+                            early_eps):
+    params = _window_params(ptab_rank, ranks, chunk)
+    out = blend_pallas.blend_windows_fwd(
+        params, win_tile, win_first, win_start, win_len, chunk=chunk,
+        tile_size=tile_size, tiles_x=tiles_x, num_tiles=num_tiles,
+        alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels,
+        interpret=interpret, early_eps=early_eps)
+    res = (params, ranks, win_tile, win_first, win_start, win_len, out,
+           ptab_rank.shape[0])
+    return out, res
+
+
+def _blend_windows_bwd_rule(chunk, tile_size, tiles_x, num_tiles, alpha_min,
+                            alpha_max, with_labels, interpret, early_eps,
+                            res, g):
+    params, ranks, win_tile, win_first, win_start, win_len, out, n = res
+    grgb = g[:, 0:3, :]
+    gt = g[:, 3:4, :]
+    d = (jnp.sum(out[:, 0:3, :] * grgb, axis=1, keepdims=True)
+         + out[:, 3:4, :] * gt)
+    drows = blend_pallas.blend_windows_bwd(
+        params, win_tile, win_first, win_start, win_len, grgb, d,
+        chunk=chunk, tile_size=tile_size, tiles_x=tiles_x,
+        num_tiles=num_tiles, alpha_min=alpha_min, alpha_max=alpha_max,
+        interpret=interpret, early_eps=early_eps, n_rank=n)
+    # One scatter-add folds every instance-gradient row back onto its
+    # gaussian's rank row; dead rows carry rank == n and drop. The rank
+    # column itself lands in dptab[:, P_RANK], which no caller consumes.
+    idx = drows[:, blend_pallas.P_RANK].astype(jnp.int32)
+    dptab = jnp.zeros((n, blend_pallas.PARAM_ROWS), jnp.float32
+                      ).at[idx].add(drows, mode="drop")
+    zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dptab, zi(ranks), zi(win_tile), zi(win_first), zi(win_start),
+            zi(win_len))
+
+
+blend_scene_windows.defvjp(_blend_windows_fwd_rule, _blend_windows_bwd_rule)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -124,13 +233,14 @@ def _render_impl(
         return out
 
     tiles_x, tiles_y = tile_grid(width, height, rc.tile_size)
-    binning = bin_gaussians(
+    binning = bin_windows(
         proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_size=rc.tile_size,
         chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget)
-    params = pack_instance_params(proj, scene.labels, binning)
-    out_tiles = blend_pallas.blend_chunks(
-        params, binning.chunk_tile, binning.chunk_first, binning.chunk_live,
-        rc.tile_size, tiles_x, tiles_x * tiles_y,
+    ptab_rank = pack_scene_table(proj, scene.labels, binning.order)
+    out_tiles = blend_scene_windows(
+        ptab_rank, binning.ranks, binning.win_tile, binning.win_first,
+        binning.win_start, binning.win_len,
+        cfg.tiles.chunk, rc.tile_size, tiles_x, tiles_x * tiles_y,
         rc.alpha_min, rc.alpha_max, with_labels, interpret,
         rc.early_stop_eps)
     img4 = blend_pallas.tiles_to_image(
@@ -174,18 +284,24 @@ def _render_vis_impl(
     proj = project(scene, cam, width, height, rc,
                    z_near=cfg.camera.z_near, z_far=cfg.camera.z_far)
     tiles_x, tiles_y = tile_grid(width, height, rc.tile_size)
-    binning = bin_gaussians(
+    binning = bin_windows(
         proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_size=rc.tile_size,
         chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget)
-    params = pack_instance_params(proj, scene.labels, binning)
-    out_tiles, inst_w = blend_pallas.blend_chunks_vis(
-        params, binning.chunk_tile, binning.chunk_first, binning.chunk_live,
-        rc.tile_size, tiles_x, tiles_x * tiles_y,
-        rc.alpha_min, rc.alpha_max, with_labels, interpret)
-    rank = binning.inst_gauss
-    oidx = binning.order[jnp.maximum(rank, 0)]
-    w = jnp.where(rank >= 0, inst_w[:, 0], 0.0)
-    gw = jnp.zeros((scene.num_gaussians,), jnp.float32).at[oidx].max(w)
+    ptab_rank = pack_scene_table(proj, scene.labels, binning.order)
+    params = _window_params(ptab_rank, binning.ranks, cfg.tiles.chunk)
+    out_tiles, wrows = blend_pallas.blend_windows_vis(
+        params, binning.win_tile, binning.win_first, binning.win_start,
+        binning.win_len, chunk=cfg.tiles.chunk, tile_size=rc.tile_size,
+        tiles_x=tiles_x, num_tiles=tiles_x * tiles_y,
+        alpha_min=rc.alpha_min, alpha_max=rc.alpha_max,
+        with_labels=with_labels, interpret=interpret)
+    n = scene.num_gaussians
+    w_rank = jnp.where(wrows[:, 1] >= 0, wrows[:, 0], 0.0)
+    idx = jnp.where(wrows[:, 1] >= 0, wrows[:, 1].astype(jnp.int32), n)
+    gw_rank = jnp.zeros((n,), jnp.float32).at[idx].max(w_rank, mode="drop")
+    # rank -> original gaussian index (order[r] is the r-th closest)
+    gw = jnp.zeros((n,), jnp.float32).at[binning.order].set(
+        gw_rank, unique_indices=True)
 
     img4 = blend_pallas.tiles_to_image(
         out_tiles[:, 0:4, :], tiles_x, tiles_y, rc.tile_size, width, height)

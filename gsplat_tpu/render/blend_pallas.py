@@ -47,7 +47,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Parameter row layout of the packed per-instance matrix [B_pad, 16].
-P_MX, P_MY, P_CA, P_CB, P_CC, P_OP, P_R, P_G, P_B, P_VALID, P_LABEL = range(11)
+(P_MX, P_MY, P_CA, P_CB, P_CC, P_OP, P_R, P_G, P_B, P_VALID, P_LABEL,
+ P_RANK) = range(12)
 PARAM_ROWS = 16
 
 def _scan_shift(x: jax.Array, combine, identity: float) -> jax.Array:
@@ -462,6 +463,339 @@ def _blend_bwd_rule(tile_size, tiles_x, num_tiles, alpha_min, alpha_max,
 
 
 blend_chunks.defvjp(_blend_fwd_rule, _blend_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Window kernels (round 2): the instance stream stays DENSE in (tile, depth)
+# sorted order; each grid step double-buffer-DMAs one window's param rows
+# from HBM at a dynamic row offset (scalar-prefetched win_start). This
+# removes the chunk-aligned slot array and both of its B-sized scatters, and
+# skips all-dead chunks entirely (windows only cover real instances).
+# ---------------------------------------------------------------------------
+
+
+# The kernel-facing params array is 128 lanes wide (columns 16+ zero): XLA
+# pads the minor dim of a [R, 16] f32 array to 128 lanes in HBM anyway, and
+# Mosaic cannot DMA-slice a 16-wide window out of a 128-lane-tiled row — so
+# width 128 costs no extra HBM and makes the window DMA legal. Row starts are
+# 8-aligned (sublane tiling); the window's true rows live at [off, off+len).
+PARAM_LANES = 128
+WIN_PAD = 8  # extra rows fetched so any off in [0, 8) fits
+
+
+def _win_rowmask(off, win_len_k, rows_total: int):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rows_total, 1), 0)
+    return ((rows >= off) & (rows < off + win_len_k)).astype(jnp.float32)
+
+
+def _win_dma(params_hbm, pbuf, psem, win_start, idx, chunk: int):
+    slot = jax.lax.rem(idx, 2)
+    base = pl.multiple_of((win_start[idx] // 8) * 8, 8)
+    return pltpu.make_async_copy(
+        params_hbm.at[pl.ds(base, chunk + WIN_PAD)],
+        pbuf.at[slot], psem.at[slot])
+
+
+def _win_prologue(k, params_hbm, pbuf, psem, win_start, chunk: int):
+    """Start this step's DMA on step 0, prefetch next step's, wait for ours."""
+    nk = pl.num_programs(0)
+
+    @pl.when(k == 0)
+    def _():
+        _win_dma(params_hbm, pbuf, psem, win_start, k, chunk).start()
+
+    @pl.when(k + 1 < nk)
+    def _():
+        _win_dma(params_hbm, pbuf, psem, win_start, k + 1, chunk).start()
+
+    _win_dma(params_hbm, pbuf, psem, win_start, k, chunk).wait()
+
+
+def _fwd_win_kernel(win_tile, win_first, win_start, win_len, params_hbm,
+                    out_ref, pbuf, psem, *, chunk: int, tile_size: int,
+                    tiles_x: int, alpha_min: float, alpha_max: float,
+                    with_labels: bool, early_eps: float):
+    k = pl.program_id(0)
+    t = win_tile[k]
+
+    @pl.when(win_first[k] == 1)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[0, 3:4, :] = jnp.ones_like(out_ref[0, 3:4, :])
+        if with_labels:
+            out_ref[0, 5:6, :] = jnp.full_like(out_ref[0, 5:6, :], -1.0)
+
+    _win_prologue(k, params_hbm, pbuf, psem, win_start, chunk)
+
+    t_carry = out_ref[0, 3:4, :]
+    live = win_len[k] > 0
+    if early_eps > 0:
+        live &= jnp.max(t_carry) >= early_eps
+
+    @pl.when(live)
+    def _compute():
+        params = pbuf[jax.lax.rem(k, 2)][:, :PARAM_ROWS]
+        off = jax.lax.rem(win_start[k], 8)
+        alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
+                                 alpha_max)
+        alpha = alpha * _win_rowmask(off, win_len[k], chunk + WIN_PAD)
+        incl = _cumprod_rows(1.0 - alpha)
+        excl = _shift_down_one(incl, 1.0)
+        w = t_carry * excl * alpha
+        _accumulate_rgb(out_ref, params, w, t_carry, incl)
+        if with_labels:
+            _accumulate_labels(out_ref, params, w)
+
+
+def _fwd_win_vis_kernel(win_tile, win_first, win_start, win_len, params_hbm,
+                        out_ref, w_ref, pbuf, psem, *, chunk: int,
+                        tile_size: int, tiles_x: int, alpha_min: float,
+                        alpha_max: float, with_labels: bool):
+    """Window forward that also records each instance's max blend weight
+    (per-gaussian visibility evidence for the occlusion-aware vote) and its
+    depth rank, for a segment-max reduction outside the kernel."""
+    k = pl.program_id(0)
+    t = win_tile[k]
+
+    @pl.when(win_first[k] == 1)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[0, 3:4, :] = jnp.ones_like(out_ref[0, 3:4, :])
+        if with_labels:
+            out_ref[0, 5:6, :] = jnp.full_like(out_ref[0, 5:6, :], -1.0)
+
+    _win_prologue(k, params_hbm, pbuf, psem, win_start, chunk)
+    w_ref[...] = jnp.zeros_like(w_ref)
+    w_ref[:, 1:2] = jnp.full_like(w_ref[:, 1:2], -1.0)  # rank sentinel
+
+    @pl.when(win_len[k] > 0)
+    def _compute():
+        params = pbuf[jax.lax.rem(k, 2)][:, :PARAM_ROWS]
+        off = jax.lax.rem(win_start[k], 8)
+        rowmask = _win_rowmask(off, win_len[k], chunk + WIN_PAD)
+        alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
+                                 alpha_max)
+        alpha = alpha * rowmask
+        incl = _cumprod_rows(1.0 - alpha)
+        excl = _shift_down_one(incl, 1.0)
+        t_carry = out_ref[0, 3:4, :]
+        w = t_carry * excl * alpha
+        _accumulate_rgb(out_ref, params, w, t_carry, incl)
+        if with_labels:
+            _accumulate_labels(out_ref, params, w)
+        wmax = jnp.max(w, axis=1, keepdims=True)       # (chunk, 1)
+        w_ref[:, 0:1] = wmax
+        w_ref[:, 1:2] = jnp.where(rowmask > 0,
+                                  params[:, P_RANK:P_RANK + 1], -1.0)
+
+
+def _bwd_win_kernel(win_tile, win_first, win_start, win_len, params_hbm,
+                    grgb_ref, d_ref, dout_ref, pbuf, psem, carry_ref, *,
+                    chunk: int, tile_size: int, tiles_x: int,
+                    alpha_min: float, alpha_max: float, early_eps: float,
+                    n_rank: int):
+    """Backward over windows. Writes per-kernel-row grad rows [chunk, 16]
+    (disjoint per grid step — no overlap hazards) with the instance's depth
+    rank in column P_RANK; masked rows carry rank = n_rank so the outer
+    scatter-add drops them."""
+    k = pl.program_id(0)
+    t = win_tile[k]
+
+    @pl.when(win_first[k] == 1)
+    def _init():
+        carry_ref[0:1, :] = jnp.ones_like(carry_ref[0:1, :])
+        carry_ref[1:2, :] = jnp.zeros_like(carry_ref[1:2, :])
+
+    _win_prologue(k, params_hbm, pbuf, psem, win_start, chunk)
+
+    live = win_len[k] > 0
+    if early_eps > 0:
+        live &= jnp.max(carry_ref[0:1, :]) >= early_eps
+    dout_ref[...] = jnp.zeros_like(dout_ref)
+    dout_ref[:, P_RANK:P_RANK + 1] = jnp.full_like(
+        dout_ref[:, P_RANK:P_RANK + 1], float(n_rank))
+
+    @pl.when(live)
+    def _():
+        params = pbuf[jax.lax.rem(k, 2)][:, :PARAM_ROWS]
+        off = jax.lax.rem(win_start[k], 8)
+        rowmask = _win_rowmask(off, win_len[k], chunk + WIN_PAD)
+        alpha, aux = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
+                                   alpha_max)
+        alpha = alpha * rowmask
+
+        incl = _cumprod_rows(1.0 - alpha)
+        excl = _shift_down_one(incl, 1.0)
+        t_carry = carry_ref[0:1, :]
+        t_excl = t_carry * excl
+        w = t_excl * alpha
+
+        grgb = grgb_ref[0, :, :]
+        colors = params[:, P_R:P_B + 1]
+        cg = (colors[:, 0:1] * grgb[0:1, :]
+              + colors[:, 1:2] * grgb[1:2, :]
+              + colors[:, 2:3] * grgb[2:3, :])
+        contrib = w * cg
+        p_incl = carry_ref[1:2, :] + _cumsum_rows(contrib)
+        s = d_ref[0, :, :] - p_incl
+
+        live_px = alpha > 0.0
+        unclamped = live_px & (aux["raw"] < alpha_max)
+        dalpha = jnp.where(live_px, t_excl * cg - s / (1.0 - alpha), 0.0)
+        dq = jnp.where(unclamped, -0.5 * alpha * dalpha, 0.0)
+
+        dx, dy = aux["dx"], aux["dy"]
+        ca, cb, cc, op = aux["ca"], aux["cb"], aux["cc"], aux["op"]
+        t1 = dq * dx
+        t2 = dq * dy
+
+        def _rsum(x):
+            return jnp.sum(x, axis=1, keepdims=True)
+
+        cx = _rsum(t1)
+        cy = _rsum(t2)
+        d_ca = _rsum(t1 * dx)
+        d_cc = _rsum(t2 * dy)
+        d_cb = 2.0 * _rsum(t1 * dy)
+        s_1 = _rsum(dq)
+        d_mx = -2.0 * ca * cx - 2.0 * cb * cy
+        d_my = -2.0 * cc * cy - 2.0 * cb * cx
+        d_op = -2.0 * s_1 / jnp.maximum(op, 1e-20)
+
+        d_col = jnp.concatenate(
+            [_rsum(w * grgb[ch:ch + 1, :]) for ch in range(3)], axis=1)
+
+        rank_out = jnp.where(rowmask > 0, params[:, P_RANK:P_RANK + 1],
+                             float(n_rank))
+        zero = jnp.zeros_like(d_mx)
+        dout_ref[...] = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col, zero, zero,
+             rank_out, zero, zero, zero, zero], axis=1)
+
+        carry_ref[0:1, :] = t_carry * incl[-1:, :]
+        carry_ref[1:2, :] = p_incl[-1:, :]
+
+
+def _win_scalar_specs():
+    return dict(num_scalar_prefetch=4)
+
+
+def blend_windows_fwd(params, win_tile, win_first, win_start, win_len, *,
+                      chunk, tile_size, tiles_x, num_tiles, alpha_min,
+                      alpha_max, with_labels, interpret, early_eps):
+    """Forward window blend. params: [R, 16] dense sorted instance rows
+    (R >= max(win_start) + chunk). Returns [num_tiles, 8, P]."""
+    p = tile_size * tile_size
+    k_static = win_tile.shape[0]
+    kernel = functools.partial(
+        _fwd_win_kernel, chunk=chunk, tile_size=tile_size, tiles_x=tiles_x,
+        alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels,
+        early_eps=early_eps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(k_static,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, 8, p), lambda k, wt, wf, ws, wl:
+                               (wt[k], 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk + WIN_PAD, PARAM_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    flops_est = 2 * k_static * chunk * p * 25
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, p), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_est,
+            bytes_accessed=k_static * chunk * 64 + num_tiles * 32 * p,
+            transcendentals=k_static * chunk * p),
+        interpret=interpret,
+    )(win_tile, win_first, win_start, win_len, params)
+
+
+def blend_windows_vis(params, win_tile, win_first, win_start, win_len, *,
+                      chunk, tile_size, tiles_x, num_tiles, alpha_min,
+                      alpha_max, with_labels, interpret):
+    """Forward window blend + per-row (max blend weight, depth rank) pairs
+    [K*chunk, 8] for the visibility vote. Not differentiable."""
+    p = tile_size * tile_size
+    k_static = win_tile.shape[0]
+    kernel = functools.partial(
+        _fwd_win_vis_kernel, chunk=chunk, tile_size=tile_size,
+        tiles_x=tiles_x, alpha_min=alpha_min, alpha_max=alpha_max,
+        with_labels=with_labels)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(k_static,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((1, 8, p), lambda k, wt, wf, ws, wl: (wt[k], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk + WIN_PAD, 8),
+                         lambda k, wt, wf, ws, wl: (k, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk + WIN_PAD, PARAM_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles, 8, p), jnp.float32),
+            jax.ShapeDtypeStruct((k_static * (chunk + WIN_PAD), 8),
+                                 jnp.float32),
+        ),
+        interpret=interpret,
+    )(win_tile, win_first, win_start, win_len, params)
+
+
+def blend_windows_bwd(params, win_tile, win_first, win_start, win_len, grgb,
+                      d, *, chunk, tile_size, tiles_x, num_tiles, alpha_min,
+                      alpha_max, interpret, early_eps, n_rank):
+    """Backward window blend. Returns [K*chunk, 16] grad rows with the depth
+    rank at column P_RANK (n_rank for dead rows)."""
+    p = tile_size * tile_size
+    k_static = win_tile.shape[0]
+    kernel = functools.partial(
+        _bwd_win_kernel, chunk=chunk, tile_size=tile_size, tiles_x=tiles_x,
+        alpha_min=alpha_min, alpha_max=alpha_max, early_eps=early_eps,
+        n_rank=n_rank)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(k_static,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 3, p), lambda k, wt, wf, ws, wl: (wt[k], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda k, wt, wf, ws, wl: (wt[k], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk + WIN_PAD, PARAM_ROWS),
+                               lambda k, wt, wf, ws, wl: (k, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk + WIN_PAD, PARAM_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, p), jnp.float32),
+        ],
+    )
+    flops_est = 2 * k_static * chunk * p * 60
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (k_static * (chunk + WIN_PAD), PARAM_ROWS), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_est,
+            bytes_accessed=k_static * chunk * 128 + num_tiles * 32 * p,
+            transcendentals=k_static * chunk * p),
+        interpret=interpret,
+    )(win_tile, win_first, win_start, win_len, params, grgb, d)
 
 
 def tiles_to_image(tile_rows: jax.Array, tiles_x: int, tiles_y: int,

@@ -37,6 +37,192 @@ import jax.numpy as jnp
 from gsplat_tpu.render.projection import Projected
 
 
+class WindowBinning(NamedTuple):
+    """Depth-ordered per-tile instance *windows* over a dense sorted stream.
+
+    Round-2 redesign of :class:`Binning`: instead of scattering instances
+    into a chunk-aligned slot array (two B-sized scatters + a B_pad-row
+    gather), the instance stream stays DENSE in (tile, depth-rank) sorted
+    order and the blend kernel walks fixed-size windows of it, DMA-ing each
+    window's rows from HBM at a dynamic offset. Construction is one packed
+    single-key ``lax.sort`` plus O(T)-sized table work — no per-instance
+    scatters at all.
+    """
+
+    order: jax.Array      # [N] i32: depth-sorted gaussian indices
+    ranks: jax.Array      # [B] i32: depth-rank per sorted instance
+    win_tile: jax.Array   # [K] i32: owning tile of each window (monotone)
+    win_first: jax.Array  # [K] i32: 1 where window is its tile's first
+    win_start: jax.Array  # [K] i32: row offset into the sorted stream
+    win_len: jax.Array    # [K] i32: live rows in the window (0..chunk)
+    num_instances: jax.Array  # scalar i32 (tight count, pre-drop)
+    num_dropped: jax.Array    # scalar i32
+
+    @property
+    def num_windows(self) -> int:
+        return self.win_tile.shape[0]
+
+
+def num_windows_static(kernel_budget: int, chunk: int, num_tiles: int) -> int:
+    """Static window count: every tile owns >= 1 window and the per-tile
+    proportional cap bounds total live rows by kernel_budget."""
+    return kernel_budget // chunk + num_tiles
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_size", "chunk",
+                              "budget", "kernel_budget"))
+def bin_windows(
+    proj: Projected,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_size: int,
+    chunk: int,
+    budget: int,
+    kernel_budget: Optional[int] = None,
+) -> WindowBinning:
+    """Window binning (see WindowBinning). Enumeration runs in ORIGINAL
+    gaussian order; depth ordering rides the sort key, so no per-gaussian
+    arrays are gathered into depth order first.
+
+    Reference semantics being replaced: the global counting depth sort of
+    gaussians_selection.js:417-462 (here: per-tile depth order via one packed
+    key sort) and the instanced draw's implicit gaussian->tile fan-out
+    (js:1609).
+    """
+    n = proj.depth.shape[0]
+    num_tiles = tiles_x * tiles_y
+    if kernel_budget is None:
+        kernel_budget = budget
+    ts = float(tile_size)
+
+    # --- depth rank per gaussian (original order): one argsort + one
+    # inverse-permutation scatter; no field gathers.
+    depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+
+    # --- bbox enumeration in original order
+    u, v = proj.means2d[:, 0], proj.means2d[:, 1]
+    x0, y0, bw, cnt = _tile_bbox(u, v, proj.extent[:, 0], proj.extent[:, 1],
+                                 proj.valid, ts, tiles_x, tiles_y)
+    offsets = jnp.cumsum(cnt) - cnt
+    total = offsets[-1] + cnt[-1]
+
+    j = jnp.arange(budget, dtype=jnp.int32)
+    marks = jnp.zeros((budget,), jnp.int32).at[offsets].add(
+        1, mode="drop", indices_are_sorted=True)
+    g = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
+    inside = j < total
+
+    # ONE padded-width row gather for every per-gaussian field the
+    # enumeration needs (width 16 gathers are ~3x faster than width 10 on
+    # v5e — row alignment, measured in scripts/profile_candidates.py).
+    if budget < (1 << 24):
+        etab = jnp.stack([
+            offsets.astype(jnp.float32),
+            jnp.maximum(bw, 1).astype(jnp.float32),
+            x0.astype(jnp.float32), y0.astype(jnp.float32),
+            rank.astype(jnp.float32),
+            u, v, proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            proj.qmax,
+        ] + [jnp.zeros((n,), jnp.float32)] * 5, axis=1)   # [N, 16]
+        erow = etab.at[g].get(indices_are_sorted=True)    # [B, 16]
+        e_off = erow[:, 0].astype(jnp.int32)
+        e_rank = erow[:, 4].astype(jnp.int32)
+    else:
+        # f32 cannot represent offsets/ranks >= 2^24 exactly (ADVICE r1):
+        # pay two extra i32 gathers on huge scenes.
+        etab = jnp.stack([
+            jnp.zeros((n,), jnp.float32),
+            jnp.maximum(bw, 1).astype(jnp.float32),
+            x0.astype(jnp.float32), y0.astype(jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            u, v, proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            proj.qmax,
+        ] + [jnp.zeros((n,), jnp.float32)] * 5, axis=1)
+        erow = etab.at[g].get(indices_are_sorted=True)
+        e_off = offsets.at[g].get(indices_are_sorted=True)
+        e_rank = rank.at[g].get(indices_are_sorted=True)
+
+    local = j - e_off
+    bw_g = erow[:, 1]
+    # bbox extents are small: exact f32 reciprocal division (see r1 notes)
+    row = jnp.floor((local.astype(jnp.float32) + 0.5) / bw_g)
+    col = (local.astype(jnp.float32) - row * bw_g).astype(jnp.int32)
+    row = row.astype(jnp.int32)
+    tcol = erow[:, 2].astype(jnp.int32) + col
+    trow = erow[:, 3].astype(jnp.int32) + row
+    tile = trow * tiles_x + tcol
+
+    # --- tight filter: exact ellipse/tile-rect intersection
+    min_q = _rect_min_q(erow[:, 5], erow[:, 6], erow[:, 7], erow[:, 8],
+                        erow[:, 9], tcol.astype(jnp.float32) * ts,
+                        trow.astype(jnp.float32) * ts, ts)
+    keep = inside & (min_q <= erow[:, 10])
+    tile = jnp.where(keep, tile, num_tiles)  # sentinel tile sorts last
+    tight = jnp.sum(keep.astype(jnp.int32))
+
+    # --- ONE packed-key sort: key = tile << RB | rank. Unique keys (one
+    # instance per (gaussian, tile)), so the unstable single-array sort is
+    # deterministic and equal-tile runs come out depth-ordered.
+    rank_bits = max((n - 1).bit_length(), 1)
+    if (num_tiles + 1) << rank_bits < 2 ** 31:
+        key = (tile << rank_bits) | e_rank
+        keys = jax.lax.sort(jnp.where(keep, key, (num_tiles << rank_bits)
+                                      | e_rank), is_stable=False)
+        ranks = keys & ((1 << rank_bits) - 1)
+        bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) << rank_bits
+        tile_start = jnp.searchsorted(keys, bounds, side="left"
+                                      ).astype(jnp.int32)
+    else:
+        # huge-scene fallback: two-key lexicographic sort
+        inst_tile, ranks = jax.lax.sort((tile, e_rank), num_keys=2)
+        tile_start = jnp.searchsorted(
+            inst_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
+
+    n_t = jnp.diff(tile_start)
+    tile_start = tile_start[:num_tiles]
+    # Kernel-budget cap: shed each tile's DEEPEST instances proportionally
+    # (suffixes of per-tile depth-ordered runs), not whole trailing tiles
+    # (ADVICE r1 #5). Only binds when tight > kernel_budget.
+    over = tight > kernel_budget
+    scale = jnp.where(over, kernel_budget / jnp.maximum(tight, 1), 1.0)
+    n_keep = jnp.where(
+        over, jnp.floor(n_t.astype(jnp.float32) * scale).astype(jnp.int32),
+        n_t)
+    num_dropped = (jnp.maximum(total - budget, 0) + jnp.sum(n_t - n_keep))
+
+    # --- windows: tile t owns max(ceil(n_keep/chunk), 1) consecutive windows
+    k_static = num_windows_static(kernel_budget, chunk, num_tiles)
+    nw = jnp.maximum(-(-n_keep // chunk), 1)
+    wstart_t = jnp.cumsum(nw) - nw                     # [T] first window idx
+    nw_total = wstart_t[-1] + nw[-1]
+    kk = jnp.arange(k_static, dtype=jnp.int32)
+    # spread tile ids down window slots: tile ids are monotone, one cummax
+    seed = jnp.zeros((k_static,), jnp.int32).at[wstart_t].max(
+        jnp.arange(num_tiles, dtype=jnp.int32), mode="drop")
+    win_tile = jax.lax.cummax(seed)
+    local_w = kk - wstart_t[win_tile]
+    win_first = (local_w == 0).astype(jnp.int32)
+    win_start = tile_start[win_tile] + local_w * chunk
+    win_len = jnp.clip(n_keep[win_tile] - local_w * chunk, 0, chunk)
+    # padding windows past nw_total: revisit the LAST tile, zero-length
+    pad = kk >= nw_total
+    win_tile = jnp.where(pad, num_tiles - 1, win_tile)
+    win_first = jnp.where(pad, 0, win_first)
+    win_start = jnp.where(pad, 0, win_start)
+    win_len = jnp.where(pad, 0, win_len)
+
+    return WindowBinning(order=order, ranks=ranks, win_tile=win_tile,
+                         win_first=win_first, win_start=win_start,
+                         win_len=win_len, num_instances=tight,
+                         num_dropped=num_dropped)
+
+
 class Binning(NamedTuple):
     order: jax.Array        # [N] i32: depth-sorted gaussian indices
     inst_gauss: jax.Array   # [B_pad] i32: depth-rank per instance, -1 = padding

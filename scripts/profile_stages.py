@@ -14,10 +14,11 @@ from gsplat_tpu.config import Config
 from gsplat_tpu.io.cameras import look_at_camera
 from gsplat_tpu.io.synthetic import random_scene
 from gsplat_tpu.models.trainer import SceneParams
-from gsplat_tpu.render.api import _render_impl, pack_instance_params
+from gsplat_tpu.render.api import (_render_impl, _window_params,
+                                   blend_scene_windows, pack_scene_table)
 from gsplat_tpu.render import blend_pallas
 from gsplat_tpu.render.projection import CameraParams, project, tile_grid
-from gsplat_tpu.render.tiles import bin_gaussians, bucket_budget, count_instances
+from gsplat_tpu.render.tiles import bin_windows, bucket_budget, count_instances
 
 W, H, N = 800, 608, 100_000
 ITERS = 20
@@ -67,18 +68,19 @@ def st_project(c, s):
 
 def st_bin(c, s):
     p = project(ptb(s, c), camp, W, H, cfg.raster)
-    b = bin_gaussians(p, tiles_x=tx, tiles_y=ty,
-                      tile_size=cfg.raster.tile_size, chunk=cfg.tiles.chunk,
-                      budget=budget)
-    return b.inst_gauss[0].astype(jnp.float32) * 1e-30
+    b = bin_windows(p, tiles_x=tx, tiles_y=ty,
+                    tile_size=cfg.raster.tile_size, chunk=cfg.tiles.chunk,
+                    budget=budget)
+    return b.ranks[0].astype(jnp.float32) * 1e-30
 
 
 def st_pack(c, s):
     p = project(ptb(s, c), camp, W, H, cfg.raster)
-    b = bin_gaussians(p, tiles_x=tx, tiles_y=ty,
-                      tile_size=cfg.raster.tile_size, chunk=cfg.tiles.chunk,
-                      budget=budget)
-    params = pack_instance_params(p, s.labels, b)
+    b = bin_windows(p, tiles_x=tx, tiles_y=ty,
+                    tile_size=cfg.raster.tile_size, chunk=cfg.tiles.chunk,
+                    budget=budget)
+    ptab = pack_scene_table(p, s.labels, b.order)
+    params = _window_params(ptab, b.ranks, cfg.tiles.chunk)
     return params[0, 0] * 1e-30
 
 
@@ -102,37 +104,41 @@ def st_fwdbwd(c, s):
     return grads.means[0, 0] * 1e-30 + loss * 1e-30
 
 
-# blend alone on fixed params (binning outside the loop)
-b0 = bin_gaussians(proj0, tiles_x=tx, tiles_y=ty,
-                   tile_size=cfg.raster.tile_size, chunk=cfg.tiles.chunk,
-                   budget=budget)
-params0 = jax.block_until_ready(pack_instance_params(proj0, scene.labels, b0))
-ct0, cf0, cl0 = b0.chunk_tile, b0.chunk_first, b0.chunk_live
+# blend alone on a fixed rank table (binning outside the loop)
+b0 = bin_windows(proj0, tiles_x=tx, tiles_y=ty,
+                 tile_size=cfg.raster.tile_size, chunk=cfg.tiles.chunk,
+                 budget=budget)
+ptab0 = jax.block_until_ready(
+    pack_scene_table(proj0, scene.labels, b0.order))
+wt0, wf0, ws0, wl0 = b0.win_tile, b0.win_first, b0.win_start, b0.win_len
+rk0 = b0.ranks
 
 
-def st_blend(c, params):
-    out = blend_pallas.blend_chunks(
-        params + c * 1e-30, ct0, cf0, cl0, cfg.raster.tile_size, tx, tx * ty,
+def st_blend(c, ptab):
+    out = blend_scene_windows(
+        ptab + c * 1e-30, rk0, wt0, wf0, ws0, wl0, cfg.tiles.chunk,
+        cfg.raster.tile_size, tx, tx * ty,
         cfg.raster.alpha_min, cfg.raster.alpha_max, False, interpret,
         cfg.raster.early_stop_eps)
     return out[0, 0, 0] * 1e-30
 
 
-def st_blend_bwd(c, params):
+def st_blend_bwd(c, ptab):
     def f(p):
-        out = blend_pallas.blend_chunks(
-            p, ct0, cf0, cl0, cfg.raster.tile_size, tx, tx * ty,
+        out = blend_scene_windows(
+            p, rk0, wt0, wf0, ws0, wl0, cfg.tiles.chunk,
+            cfg.raster.tile_size, tx, tx * ty,
             cfg.raster.alpha_min, cfg.raster.alpha_max, False, interpret,
             cfg.raster.early_stop_eps)
         return jnp.sum(out[:, 0:3, :])
-    g = jax.grad(f)(params + c * 1e-30)
+    g = jax.grad(f)(ptab + c * 1e-30)
     return g[0, 0] * 1e-30
 
 
 loop_time("project", st_project, scene)
 loop_time("project+bin", st_bin, scene)
 loop_time("project+bin+pack", st_pack, scene)
-loop_time("blend fwd (kernel only)", st_blend, params0)
-loop_time("blend fwd+bwd (kernel)", st_blend_bwd, params0)
+loop_time("blend fwd (op incl gather)", st_blend, ptab0)
+loop_time("blend fwd+bwd (op+scatter)", st_blend_bwd, ptab0)
 loop_time("full fwd", st_fwd, scene)
 loop_time("full fwd+bwd", st_fwdbwd, scene)
