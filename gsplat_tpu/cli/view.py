@@ -12,6 +12,9 @@ import argparse
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ply_file", required=True)
+    ap.add_argument("--camera_file", default=None,
+                    help="cameras.json enabling 0-9/+/- dataset-camera "
+                         "navigation (gaussians_selection.js:1159-1171)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--width", type=int, default=640)
@@ -22,11 +25,13 @@ def main(argv=None) -> int:
 
     from gsplat_tpu.interact.viewer import ViewerServer
     from gsplat_tpu.io import ply
+    from gsplat_tpu.io.cameras import load_cameras
 
     scene = ply.scene_from_ply(args.ply_file)
     print(f"loaded {scene.num_gaussians} gaussians")
+    cameras = load_cameras(args.camera_file) if args.camera_file else None
     server = ViewerServer(scene, width=args.width, height=args.height,
-                          session_path=args.session)
+                          session_path=args.session, cameras=cameras)
     server.serve(args.host, args.port)
     return 0
 

@@ -3,14 +3,27 @@
 Re-architecture of the reference's WebGL viewer (L4): instead of shipping
 the scene to the client and rasterizing in GLSL, the renderer runs here
 (Pallas on TPU / interpret on CPU) and the browser is a thin client that
-displays JPEG frames and posts input. Feature parity with the reference's
-interaction model:
+displays JPEG frames and posts input. Interaction parity with the
+reference's viewer (Web_Viewer_Gaussians_Selection):
 
-- mouse drag orbit + wheel zoom (js:1188-1255)
+- mouse drag orbit + wheel zoom (gaussians_selection.js:1188-1255)
+- right/shift drag pan (js:1209-1255)
+- keys 0-9 / +/- jump between dataset cameras from cameras.json
+  (js:1159-1171) — pass ``cameras=`` / ``--camera_file``
 - ESC toggles selection mode, click selects a label (js:1342-1388)
+- selection-info panel with ADE20K class name + gaussian count
+  (js:981-1004, 1875-1881; index.html:328-331)
+- color picker + apply/reset recoloring the selected label
+  (index.html:316-320, js:15-64, 973-1004)
 - Delete hides the selected label (js:1352-1359)
-- H/K/U/J displace the selected label, arrows too (js:1464-1482)
+- H/K/U/J and arrows displace the selected label (js:1464-1482)
 - R resets displacements, V resets visibility, C resets colors (js:1360-69)
+- touch: 1-finger orbit, 2-finger pinch zoom + pan (js:1257-1316)
+- gamepad: sticks orbit/zoom (js:1484-1546)
+- idle carousel auto-orbit (js:1558-1566)
+- URL-hash view save/restore — shareable camera pose (js:848-852, 1681-87)
+- drag-drop live ingestion of .ply/.json/.splat into the running viewer
+  (js:1646-1700)
 - label map overlay toggle (L) — a capability the reference lacks
 - session persistence to a JSON file (the localStorage analogue)
 
@@ -23,14 +36,15 @@ import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import List, Optional, Sequence
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+from gsplat_tpu.assets.ade20k import label_name
 from gsplat_tpu.config import DEFAULT, NO_SELECTION, Config
 from gsplat_tpu.interact.edit import EditState, apply_edits, hit_test
-from gsplat_tpu.io.cameras import look_at_camera
+from gsplat_tpu.io.cameras import Camera, load_cameras, look_at_camera
 from gsplat_tpu.render.api import render
 from gsplat_tpu.scene import GaussianScene
 
@@ -39,41 +53,112 @@ _PAGE = """<!doctype html>
 body{margin:0;background:#111;color:#ddd;font:13px monospace;overflow:hidden}
 #hud{position:fixed;top:8px;left:8px;background:#000a;padding:6px 10px;
      border-radius:6px;white-space:pre}
+#info{position:fixed;bottom:8px;left:8px;background:#000a;padding:6px 10px;
+      border-radius:6px;display:none}
+#colorbox{position:fixed;top:8px;right:8px;background:#000a;padding:6px 10px;
+      border-radius:6px;display:none}
+#colorbox button{margin-left:4px}
+#drop{position:fixed;inset:0;display:none;align-items:center;
+      justify-content:center;background:#000c;font-size:20px}
 img{display:block;width:100vw;height:100vh;object-fit:contain;
-    image-rendering:auto;cursor:crosshair}
+    image-rendering:auto;cursor:crosshair;touch-action:none}
 </style></head><body>
 <img id="v" draggable="false">
 <div id="hud"></div>
+<div id="info"></div>
+<div id="colorbox">
+  <input type="color" id="pick" value="#ff0000">
+  <button id="apply">Apply</button><button id="creset">Reset</button>
+</div>
+<div id="drop">drop .ply / .json / .splat to load</div>
 <script>
-let th=0.8, ph=0.3, r=3.0, sel=false, lab=null, labels=false, busy=false, dirty=true;
+// view state (restored from the URL hash like the reference's #[matrix])
+let th=0.8, ph=0.3, r=3.0, px=0, py=0, cam=-1;
+let sel=false, lab=null, labname='', labcount=0, labels=false;
+let busy=false, dirty=true, ncams=0, lastInput=Date.now();
 const img=document.getElementById('v'), hud=document.getElementById('hud');
-function qs(){return `theta=${th}&phi=${ph}&r=${r}&labels=${labels?1:0}`}
+const info=document.getElementById('info'), cbox=document.getElementById('colorbox');
+try{ const h=JSON.parse(decodeURIComponent(location.hash.slice(1)));
+     [th,ph,r,px,py,cam]=h; }catch(e){}
+function qs(){return `theta=${th}&phi=${ph}&r=${r}&px=${px}&py=${py}`+
+  `&cam=${cam}&labels=${labels?1:0}`}
+function savehash(){location.hash=encodeURIComponent(
+  JSON.stringify([th,ph,r,px,py,cam]))}
 async function refresh(){
-  if(busy){dirty=true;return} busy=true;dirty=false;
+  if(busy){dirty=true;return} busy=true;dirty=false;savehash();
   img.src='/render?'+qs()+'&t='+Date.now();
   await img.decode().catch(()=>{});
   busy=false; if(dirty) refresh();
 }
+function touched(){lastInput=Date.now(); }
 function hudtext(){hud.textContent=
- `orbit: drag | zoom: wheel | ESC select-mode(${sel?'ON':'off'})`+
- ` | selected: ${lab===null?'-':lab}\\nDel hide | H/K/U/J move | L labels(${labels?'ON':'off'})`+
- ` | R/V/C reset disp/vis/color`}
-let drag=false,lx=0,ly=0;
-img.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY};
-window.onmouseup=()=>drag=false;
-window.onmousemove=e=>{if(!drag)return;
-  th+=(e.clientX-lx)*0.01; ph=Math.max(-1.4,Math.min(1.4,ph+(e.clientY-ly)*0.01));
-  lx=e.clientX;ly=e.clientY;refresh()};
-window.onwheel=e=>{r=Math.max(0.3,r*(1+e.deltaY*0.001));refresh()};
+ `orbit: drag | pan: shift/right-drag | zoom: wheel | cam: ${cam<0?'free':cam}/${ncams}`+
+ `\\nESC select-mode(${sel?'ON':'off'}) | Del hide | H/K/U/J move | L labels(${labels?'ON':'off'})`+
+ `\\n0-9 +/- dataset cams | R/V/C reset disp/vis/color`}
+function showinfo(){
+  if(lab===null){info.style.display='none';cbox.style.display='none';return}
+  info.textContent=`selected: ${lab} (${labname}) — ${labcount} gaussians`;
+  info.style.display='block'; cbox.style.display='block'}
+// --- dataset camera presets (reference js:1159-1171)
+fetch('/cameras').then(r=>r.json()).then(d=>{ncams=d.count;hudtext()});
+async function setcam(i){
+  if(ncams===0)return; cam=((i%ncams)+ncams)%ncams;
+  const d=await (await fetch(`/campose?cam=${cam}`)).json();
+  th=d.theta; ph=d.phi; r=d.r; px=0; py=0; hudtext(); refresh()}
+// --- mouse: left orbit, right/shift pan (js:1188-1255)
+let drag=0,lx=0,ly=0;
+img.oncontextmenu=e=>e.preventDefault();
+img.onmousedown=e=>{drag=(e.button===2||e.shiftKey)?2:1;lx=e.clientX;ly=e.clientY};
+window.onmouseup=()=>drag=0;
+window.onmousemove=e=>{if(!drag)return;touched();
+  const dx=e.clientX-lx, dy=e.clientY-ly; lx=e.clientX;ly=e.clientY;
+  if(drag===2){px-=dx;py-=dy}
+  else{cam=-1;th+=dx*0.01;ph=Math.max(-1.4,Math.min(1.4,ph+dy*0.01))}
+  refresh()};
+window.onwheel=e=>{touched();r=Math.max(0.1,r*(1+e.deltaY*0.001));refresh()};
+// --- touch: 1-finger orbit, 2-finger pinch zoom + pan (js:1257-1316)
+let tpts=new Map(), tdist=0;
+img.onpointerdown=e=>{if(e.pointerType!=='touch')return;
+  tpts.set(e.pointerId,[e.clientX,e.clientY]);
+  if(tpts.size===2){const p=[...tpts.values()];
+    tdist=Math.hypot(p[0][0]-p[1][0],p[0][1]-p[1][1])}};
+img.onpointerup=img.onpointercancel=e=>tpts.delete(e.pointerId);
+img.onpointermove=e=>{
+  if(e.pointerType!=='touch'||!tpts.has(e.pointerId))return;
+  touched();e.preventDefault();
+  const old=tpts.get(e.pointerId);tpts.set(e.pointerId,[e.clientX,e.clientY]);
+  if(tpts.size===1){cam=-1;th+=(e.clientX-old[0])*0.01;
+    ph=Math.max(-1.4,Math.min(1.4,ph+(e.clientY-old[1])*0.01))}
+  else if(tpts.size===2){const p=[...tpts.values()];
+    const d=Math.hypot(p[0][0]-p[1][0],p[0][1]-p[1][1]);
+    if(tdist>0)r=Math.max(0.1,r*tdist/d); tdist=d;
+    px-=(e.clientX-old[0])*0.5; py-=(e.clientY-old[1])*0.5}
+  refresh()};
+// --- selection (js:1373-1388) + info panel (js:981-1004)
 img.onclick=async e=>{
-  if(!sel)return;
+  if(!sel||drag)return;touched();
   const rect=img.getBoundingClientRect();
   const x=(e.clientX-rect.left)/rect.width, y=(e.clientY-rect.top)/rect.height;
-  const res=await fetch(`/select?x=${x}&y=${y}&`+qs());
-  lab=(await res.json()).label; hudtext(); refresh()};
+  const res=await (await fetch(`/select?x=${x}&y=${y}&`+qs())).json();
+  lab=res.label; labname=res.name; labcount=res.count;
+  hudtext(); showinfo(); refresh()};
+// --- color picker (index.html:316-320)
+document.getElementById('apply').onclick=async()=>{
+  if(lab===null)return;
+  const c=document.getElementById('pick').value;
+  const rgb=[1,3,5].map(i=>parseInt(c.slice(i,i+2),16)/255);
+  await fetch(`/edit?action=set_color&label=${lab}&r=${rgb[0]}&g=${rgb[1]}&b=${rgb[2]}`);
+  refresh()};
+document.getElementById('creset').onclick=async()=>{
+  await fetch('/edit?action=reset_color');refresh()};
+// --- keyboard (js:1342-1369, 1464-1482, presets js:1159-1171)
 window.onkeydown=async e=>{
+  touched();
   const post=async a=>{await fetch('/edit?action='+a+(lab!==null?'&label='+lab:''));refresh()};
   if(e.key==='Escape'){sel=!sel;hudtext()}
+  else if(e.key>='0'&&e.key<='9')setcam(parseInt(e.key));
+  else if(e.key==='+'||e.key==='=')setcam((cam<0?0:cam+1));
+  else if(e.key==='-'||e.key==='_')setcam((cam<0?0:cam-1));
   else if(e.key==='Delete'&&lab!==null)post('hide');
   else if(e.key==='l'||e.key==='L'){labels=!labels;hudtext();refresh()}
   else if(e.key==='r'||e.key==='R')post('reset_disp');
@@ -84,12 +169,39 @@ window.onkeydown=async e=>{
       ArrowLeft:[-1,0,0],ArrowRight:[1,0,0],ArrowUp:[0,-1,0],ArrowDown:[0,1,0]}[e.key];
     if(step)post('displace&dx='+step[0]+'&dy='+step[1]+'&dz='+step[2]);
   }};
+// --- gamepad poll (js:1484-1546) + idle carousel (js:1558-1566)
+let pad=false;
+window.addEventListener('gamepadconnected',()=>pad=true);
+setInterval(()=>{
+  if(pad){const g=navigator.getGamepads()[0];
+    if(g){const [ax,ay]=g.axes, az=g.axes[3]||0;
+      if(Math.abs(ax)>0.15||Math.abs(ay)>0.15||Math.abs(az)>0.15){
+        touched();cam=-1;th+=ax*0.05;
+        ph=Math.max(-1.4,Math.min(1.4,ph+ay*0.05));
+        r=Math.max(0.1,r*(1+az*0.02));refresh()}}}
+  if(Date.now()-lastInput>15000){cam=-1;th+=0.01;refresh()}
+},66);
+// --- drag-drop live ingestion (js:1646-1700)
+const drop=document.getElementById('drop');
+window.ondragover=e=>{e.preventDefault();drop.style.display='flex'};
+window.ondragleave=e=>{if(e.relatedTarget===null)drop.style.display='none'};
+window.ondrop=async e=>{
+  e.preventDefault();drop.style.display='none';
+  const f=e.dataTransfer.files[0]; if(!f)return;
+  const res=await fetch('/load',{method:'POST',body:await f.arrayBuffer()});
+  const d=await res.json();
+  if(d.cameras!==undefined){ncams=d.cameras}
+  lab=null;hudtext();showinfo();refresh()};
 hudtext();refresh();
 </script></body></html>"""
 
 
 class ViewerServer:
-    """Threaded HTTP viewer around one scene + EditState."""
+    """Threaded HTTP viewer around one scene + EditState.
+
+    ``cameras`` (a cameras.json list) enables the reference's 0-9 / +/-
+    dataset-camera navigation (gaussians_selection.js:1159-1171).
+    """
 
     def __init__(
         self,
@@ -100,33 +212,73 @@ class ViewerServer:
         height: int = 480,
         session_path: Optional[str] = None,
         center: Optional[np.ndarray] = None,
+        cameras: Optional[Sequence[Camera]] = None,
     ):
-        self.scene = scene
         self.cfg = cfg
         self.width, self.height = width, height
         self.session_path = session_path
         self.edits = (EditState.load(session_path)
                       if session_path and _exists(session_path)
                       else EditState())
-        m = scene.to_numpy().means
-        self.center = (np.asarray(center) if center is not None
-                       else m.mean(axis=0))
+        self.cameras: List[Camera] = list(cameras or [])
         self.lock = threading.Lock()
+        self.set_scene(scene, center=center)
+
+    def set_scene(self, scene: GaussianScene,
+                  center: Optional[np.ndarray] = None) -> None:
+        """Swap the scene (live ingestion; js:1666-1673)."""
+        with self.lock:
+            self.scene = scene
+            m = scene.to_numpy().means
+            self.center = (np.asarray(center) if center is not None
+                           else m.mean(axis=0))
 
     # --- rendering ------------------------------------------------------
-    def _camera(self, theta: float, phi: float, radius: float):
+    def _camera(self, theta: float, phi: float, radius: float,
+                pan_x: float = 0.0, pan_y: float = 0.0,
+                cam_idx: int = -1) -> Camera:
+        if 0 <= cam_idx < len(self.cameras):
+            cam = self.cameras[cam_idx].resized(self.width, self.height)
+            if pan_x or pan_y:
+                # pan in the camera plane: rows of R are right / down / fwd
+                s = radius / cam.fx
+                delta = (pan_x * s * cam.rotation[0]
+                         + pan_y * s * cam.rotation[1])
+                import dataclasses
+                cam = dataclasses.replace(cam, position=cam.position + delta)
+            return cam
         eye = self.center + radius * np.array([
             np.cos(phi) * np.cos(theta), np.sin(phi),
             np.cos(phi) * np.sin(theta)])
-        return look_at_camera(eye, self.center, width=self.width,
-                              height=self.height)
+        cam = look_at_camera(eye, self.center, width=self.width,
+                             height=self.height)
+        if pan_x or pan_y:
+            s = radius / cam.fx
+            delta = (pan_x * s * cam.rotation[0]
+                     + pan_y * s * cam.rotation[1])
+            import dataclasses
+            cam = dataclasses.replace(cam, position=cam.position + delta)
+        return cam
 
-    def render_frame(self, theta, phi, radius, labels=False) -> bytes:
+    def campose(self, cam_idx: int) -> dict:
+        """Orbit-rig angles matching dataset camera ``cam_idx``'s position,
+        so client-side orbiting continues smoothly from a preset jump."""
+        cam = self.cameras[cam_idx]
+        d = np.asarray(cam.position, np.float64) - self.center
+        r = float(np.linalg.norm(d))
+        if r < 1e-9:
+            return dict(theta=0.0, phi=0.0, r=1.0)
+        phi = float(np.arcsin(np.clip(d[1] / r, -1, 1)))
+        theta = float(np.arctan2(d[2], d[0]))
+        return dict(theta=theta, phi=phi, r=r)
+
+    def render_frame(self, theta, phi, radius, labels=False,
+                     pan_x=0.0, pan_y=0.0, cam_idx=-1) -> bytes:
         from PIL import Image
 
         with self.lock:
             scene = apply_edits(self.scene, self.edits)
-            cam = self._camera(theta, phi, radius)
+            cam = self._camera(theta, phi, radius, pan_x, pan_y, cam_idx)
             out = render(scene, cam, self.cfg, with_labels=labels)
             img = np.clip(np.asarray(out["image"]), 0, 1)
             if labels:
@@ -140,22 +292,31 @@ class ViewerServer:
             buf, "JPEG", quality=90)
         return buf.getvalue()
 
-    def select(self, xf: float, yf: float, theta, phi, radius) -> int:
+    def select(self, xf: float, yf: float, theta, phi, radius,
+               pan_x=0.0, pan_y=0.0, cam_idx=-1) -> dict:
+        """Hit-test + the selection-info payload (label, class name, count —
+        js:981-1004)."""
         with self.lock:
-            cam = self._camera(theta, phi, radius)
+            cam = self._camera(theta, phi, radius, pan_x, pan_y, cam_idx)
             scene = apply_edits(self.scene, self.edits)
             lab = hit_test(scene, cam, xf * self.width, yf * self.height,
                            radius_px=self.cfg.interact.hit_radius_px)
             self.edits.selected_label = lab
-        return lab
+            if lab == NO_SELECTION:
+                return dict(label=None, name="", count=0)
+            count = int((np.asarray(self.scene.labels) == lab).sum())
+        return dict(label=int(lab), name=label_name(int(lab)), count=count)
 
-    def edit(self, action: str, label: Optional[int], dxyz) -> None:
+    def edit(self, action: str, label: Optional[int], dxyz,
+             rgb=None) -> None:
         with self.lock:
             if action == "hide" and label is not None:
                 self.edits.toggle_visibility(label)
             elif action == "displace" and label is not None:
                 self.edits.displace(
                     label, dxyz, step=self.cfg.interact.displacement_step)
+            elif action == "set_color" and label is not None and rgb:
+                self.edits.set_color(label, rgb)
             elif action == "reset_disp":
                 self.edits.reset_displacements()
             elif action == "reset_vis":
@@ -165,8 +326,22 @@ class ViewerServer:
             if self.session_path:
                 self.edits.save(self.session_path)
 
+    def load_bytes(self, data: bytes) -> dict:
+        """Live file ingestion (drag-drop dispatch, js:1646-1679):
+        cameras.json replaces the camera set; PLY/.splat replace the scene."""
+        head = data.lstrip()[:1]
+        if head in (b"[", b"{"):
+            cams = [Camera.from_json(d) for d in json.loads(data)]
+            with self.lock:
+                self.cameras = cams
+            return dict(cameras=len(cams))
+        from gsplat_tpu.io.ply import load_scene_bytes
+        scene = load_scene_bytes(data)
+        self.set_scene(scene)
+        return dict(gaussians=int(scene.num_gaussians))
+
     # --- http -----------------------------------------------------------
-    def serve(self, host: str = "127.0.0.1", port: int = 8000):
+    def make_handler(self):
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -180,37 +355,77 @@ class ViewerServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def do_POST(self):
+                u = urlparse(self.path)
+                try:
+                    if u.path == "/load":
+                        n = int(self.headers.get("Content-Length", 0))
+                        res = viewer.load_bytes(self.rfile.read(n))
+                        self._send(200, json.dumps(res).encode())
+                    else:
+                        self._send(404, b"not found", "text/plain")
+                except Exception as e:
+                    self._send(500, str(e).encode(), "text/plain")
+
             def do_GET(self):
                 u = urlparse(self.path)
                 q = {k: v[0] for k, v in parse_qs(u.query).items()}
+
+                def viewq():
+                    return (float(q.get("theta", 0)), float(q.get("phi", 0)),
+                            float(q.get("r", 3)))
+
+                def panq():
+                    return (float(q.get("px", 0)), float(q.get("py", 0)),
+                            int(q.get("cam", -1)))
+
                 try:
                     if u.path == "/":
                         self._send(200, _PAGE.encode(), "text/html")
                     elif u.path == "/render":
+                        th, ph, r = viewq()
+                        px, py, ci = panq()
                         jpg = viewer.render_frame(
-                            float(q.get("theta", 0)), float(q.get("phi", 0)),
-                            float(q.get("r", 3)), q.get("labels") == "1")
+                            th, ph, r, q.get("labels") == "1",
+                            pan_x=px, pan_y=py, cam_idx=ci)
                         self._send(200, jpg, "image/jpeg")
                     elif u.path == "/select":
-                        lab = viewer.select(
-                            float(q["x"]), float(q["y"]),
-                            float(q.get("theta", 0)), float(q.get("phi", 0)),
-                            float(q.get("r", 3)))
-                        lab = None if lab == NO_SELECTION else int(lab)
-                        self._send(200, json.dumps({"label": lab}).encode())
+                        th, ph, r = viewq()
+                        px, py, ci = panq()
+                        res = viewer.select(float(q["x"]), float(q["y"]),
+                                            th, ph, r, pan_x=px, pan_y=py,
+                                            cam_idx=ci)
+                        self._send(200, json.dumps(res).encode())
+                    elif u.path == "/cameras":
+                        self._send(200, json.dumps(
+                            {"count": len(viewer.cameras)}).encode())
+                    elif u.path == "/campose":
+                        ci = int(q.get("cam", 0))
+                        if not 0 <= ci < len(viewer.cameras):
+                            self._send(404, b"no such camera", "text/plain")
+                        else:
+                            self._send(200,
+                                       json.dumps(viewer.campose(ci)).encode())
                     elif u.path == "/edit":
+                        rgb = None
+                        if "r" in q and "g" in q and "b" in q:
+                            rgb = (float(q["r"]), float(q["g"]),
+                                   float(q["b"]))
                         viewer.edit(
                             q.get("action", ""),
                             int(q["label"]) if "label" in q else None,
                             (float(q.get("dx", 0)), float(q.get("dy", 0)),
-                             float(q.get("dz", 0))))
+                             float(q.get("dz", 0))), rgb=rgb)
                         self._send(200, b"{}")
                     else:
                         self._send(404, b"not found", "text/plain")
                 except Exception as e:  # surface errors to the client
                     self._send(500, str(e).encode(), "text/plain")
 
-        httpd = ThreadingHTTPServer((host, port), Handler)
+        return Handler
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8000):
+        httpd = ThreadingHTTPServer((host, port), self.make_handler())
         print(f"viewer at http://{host}:{httpd.server_address[1]}/")
         httpd.serve_forever()
 

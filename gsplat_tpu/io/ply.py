@@ -253,3 +253,13 @@ def load_scene(path: str) -> GaussianScene:
         return scene_from_ply(path)
     from gsplat_tpu.io.splat_format import read_splat
     return read_splat(path)
+
+
+def load_scene_bytes(data: bytes) -> GaussianScene:
+    """In-memory variant of :func:`load_scene` (the live viewer's drag-drop
+    ingestion, gaussians_selection.js:1660-1673): PLY magic -> PLY codec,
+    anything else -> packed .splat rows."""
+    if data[:4] == b"ply\n":
+        return scene_from_ply(data)
+    from gsplat_tpu.io.splat_format import read_splat
+    return read_splat(data)
