@@ -64,27 +64,20 @@ def main() -> None:
     target = jnp.zeros((args.height, args.width, 3), jnp.float32)
 
     kernel_budget = None
+    num_windows = None
     if args.budget is None:
-        from gsplat_tpu.render.projection import project, tile_grid
-        from gsplat_tpu.render.tiles import (bucket_budget, count_instances,
-                                             count_instances_tight)
-        tx, ty = tile_grid(args.width, args.height, cfg.raster.tile_size)
-        proj = project(scene, camp, args.width, args.height, cfg.raster)
-        cnt = int(count_instances(proj, tiles_x=tx, tiles_y=ty,
-                                  tile_size=cfg.raster.tile_size))
-        args.budget = bucket_budget(cnt, cfg.tiles.chunk)
-        tight = int(count_instances_tight(
-            proj, tiles_x=tx, tiles_y=ty, tile_size=cfg.raster.tile_size,
-            budget=args.budget))
-        kernel_budget = bucket_budget(tight, cfg.tiles.chunk)
-        print(f"instances={cnt} tight={tight} budget={args.budget} "
-              f"kernel_budget={kernel_budget}", file=sys.stderr)
+        from gsplat_tpu.render.api import measure_budgets
+        args.budget, kernel_budget, num_windows = measure_budgets(
+            scene, cam, cfg)
+        print(f"budget={args.budget} kernel_budget={kernel_budget} "
+              f"num_windows={num_windows}", file=sys.stderr)
 
     def render_image(s):
         out = _render_impl(
             s, camp, bg, width=args.width, height=args.height, cfg=cfg,
             with_labels=False, impl="pallas", interpret=interpret,
-            budget=args.budget, kernel_budget=kernel_budget)
+            budget=args.budget, kernel_budget=kernel_budget,
+            num_windows=num_windows)
         return out["image"], out["num_dropped"]
 
     import dataclasses

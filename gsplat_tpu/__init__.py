@@ -25,4 +25,4 @@ if _os.environ.get("JAX_PLATFORMS"):
 from gsplat_tpu.config import Config, DEFAULT, NO_SELECTION, SH_C0, UNLABELED
 from gsplat_tpu.scene import GaussianScene
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

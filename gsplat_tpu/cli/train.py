@@ -43,6 +43,8 @@ def main(argv=None) -> int:
                     help="gaussian buffer capacity as a multiple of init N")
     ap.add_argument("--opacity_reset_every", type=int, default=0,
                     help="periodic opacity reset interval (0 = off)")
+    from gsplat_tpu.parallel.bootstrap import add_mesh_args, mesh_from_args
+    add_mesh_args(ap)
     args = ap.parse_args(argv)
 
     import jax
@@ -54,9 +56,15 @@ def main(argv=None) -> int:
     from gsplat_tpu.io.cameras import load_cameras
     from gsplat_tpu.io.synthetic import random_scene
     from gsplat_tpu.models import trainer
+    from gsplat_tpu.parallel import mesh as mesh_lib
     from gsplat_tpu.render.projection import CameraParams
     from gsplat_tpu.render.tiles import instance_budget
     from gsplat_tpu.utils import checkpoint as ckpt
+
+    mesh = mesh_from_args(args) if args.mesh else None
+    if mesh is not None:
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+              f"({jax.process_count()} processes)")
 
     cameras = []
     targets = []
@@ -104,7 +112,17 @@ def main(argv=None) -> int:
     n_for_budget = scene.num_gaussians
     budget = instance_budget(n_for_budget, DEFAULT.tiles.chunk,
                              args.budget_factor)
-    if adaptive:
+    if adaptive and mesh is not None:
+        print("error: --densify_every with --mesh is not supported yet",
+              file=sys.stderr)
+        return 1
+    if mesh is not None:
+        scene = mesh_lib.shard_scene(scene, mesh)
+        d = mesh.devices.size
+        step = trainer.make_train_step(
+            (w, h), DEFAULT, lr=args.lr, budget=budget, mesh=mesh,
+            budget_per_device=-(-budget // d), loss=args.loss)
+    elif adaptive:
         step = trainer.make_adaptive_train_step(
             (w, h), DEFAULT, lr=args.lr, budget=budget, loss=args.loss)
         stats = dz.DensifyStats.zeros(scene.num_gaussians)

@@ -16,7 +16,11 @@ from typing import Optional
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libgsplat_native.so"))
+# installed wheels carry the .so inside the package (setup.py build hook);
+# source checkouts build it under native/ via make
+_PKG_LIB = os.path.join(os.path.dirname(__file__), "libgsplat_native.so")
+_SRC_LIB = os.path.abspath(os.path.join(_NATIVE_DIR, "libgsplat_native.so"))
+_LIB_PATH = _PKG_LIB if os.path.exists(_PKG_LIB) else _SRC_LIB
 _lib: Optional[ctypes.CDLL] = None
 
 

@@ -35,14 +35,18 @@ def psnr(image: jax.Array, target: jax.Array, max_val: float = 1.0
 
 @functools.lru_cache(maxsize=8)
 def _gauss_window(size: int, sigma: float):
-    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
-    w = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return w / jnp.sum(w)
+    # numpy on purpose: an lru_cache holding a traced jnp array would leak
+    # tracers across jit/shard_map scopes (UnexpectedTracerError)
+    import numpy as np
+
+    x = np.arange(size, dtype=np.float32) - (size - 1) / 2.0
+    w = np.exp(-0.5 * (x / sigma) ** 2)
+    return w / np.sum(w)
 
 
 def _blur(img: jax.Array, size: int, sigma: float) -> jax.Array:
     """Separable Gaussian blur of [H, W, C] (SAME padding)."""
-    w = _gauss_window(size, sigma)
+    w = jnp.asarray(_gauss_window(size, sigma))
     c = img.shape[-1]
     x = img[None]                                    # [1, H, W, C]
     kh = jnp.tile(w[:, None, None, None], (1, 1, 1, c))  # [S,1,1,C]

@@ -4,10 +4,14 @@ Dataflow (the TPU-native analogue of SURVEY.md section 2.23/2.24's
 "gaussian-parallelism + tile-parallelism" design):
 
 1. every device projects its gaussian shard (N/D) — pure local compute;
-2. ``all_gather`` of the *compact* projected splats (12 floats each, not the
+2. ``all_gather`` of the *compact* projected splats (16 floats each, not the
    59-float raw parameters) over ('host', 'chip') — the analogue of the
    reference worker posting packed texture data (gaussians_selection.js:356);
-3. each device bins + blends only its horizontal band of image tiles;
+3. each device bins + blends only its horizontal band of image tiles.
+   Band culling is structural: the tile-bbox clip inside ``bin_windows``
+   zeroes the candidate count of every splat whose cutoff ellipse misses the
+   band, so per-device enumeration/sort/blend work scales ~N_band + overlap,
+   not N (tested in tests/test_sharded.py::test_band_culling_scales);
 4. backward: autodiff transposes the all_gather into a reduce-scatter
    (psum_scatter) of per-gaussian gradients back to their owner shards —
    the overlapped gradient exchange of the north-star design — and the
@@ -23,13 +27,13 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from gsplat_tpu.config import Config
+from gsplat_tpu.config import UNLABELED, Config
 from gsplat_tpu.parallel.mesh import AXES, Mesh
 from gsplat_tpu.render import blend_pallas
-from gsplat_tpu.render.api import pack_instance_params
+from gsplat_tpu.render.api import blend_scene_windows, pack_table
 from gsplat_tpu.render.projection import (CameraParams, Projected, project,
                                           tile_grid)
-from gsplat_tpu.render.tiles import bin_gaussians
+from gsplat_tpu.render.tiles import bin_windows
 from gsplat_tpu.scene import GaussianScene
 
 COMPACT_COLS = 16  # u v ca cb cc depth radius ex ey qmax r g b opacity valid label
@@ -73,9 +77,13 @@ def render_sharded(
     budget_per_device: int,
     background: Optional[jax.Array] = None,
     interpret: bool = False,
-) -> jax.Array:
-    """Render over the mesh. Returns [H_pad, W, 3] sharded row-bands; crop
-    to ``height`` for the final image (H_pad = ceil-div padded tiles)."""
+    with_labels: bool = False,
+    kernel_budget_per_device: Optional[int] = None,
+    num_windows_per_device: Optional[int] = None,
+):
+    """Render over the mesh. Returns [H_pad, W, 3] sharded row-bands (crop
+    to ``height`` for the final image), or with ``with_labels`` a dict also
+    carrying ``label_map``/``best_weight``/``alpha`` bands."""
     rc = cfg.raster
     ts = rc.tile_size
     d = mesh.devices.size
@@ -83,7 +91,7 @@ def render_sharded(
     if background is None:
         background = jnp.asarray(rc.background, jnp.float32)
 
-    def shard_fn(scene_shard: GaussianScene, bg: jax.Array) -> jax.Array:
+    def shard_fn(scene_shard: GaussianScene, bg: jax.Array):
         proj = project(scene_shard, cam, width, height, rc,
                        z_near=cfg.camera.z_near, z_far=cfg.camera.z_far)
         compact = _pack_compact(proj, scene_shard.labels)
@@ -97,27 +105,50 @@ def render_sharded(
             means2d=projf.means2d - jnp.stack(
                 [jnp.zeros_like(y_off), y_off])[None, :])
 
-        binning = bin_gaussians(
+        binning = bin_windows(
             projf, tiles_x=tiles_x, tiles_y=band_ty, tile_size=ts,
-            chunk=cfg.tiles.chunk, budget=budget_per_device)
-        params = pack_instance_params(projf, labelsf, binning)
-        out_tiles = blend_pallas.blend_chunks(
-            params, binning.chunk_tile, binning.chunk_first,
-            binning.chunk_live,
-            ts, tiles_x, tiles_x * band_ty,
-            rc.alpha_min, rc.alpha_max, False, interpret,
+            chunk=cfg.tiles.chunk, budget=budget_per_device,
+            kernel_budget=kernel_budget_per_device,
+            num_windows=num_windows_per_device)
+        ptab = pack_table(projf, labelsf)
+        out_tiles = blend_scene_windows(
+            ptab, binning.order, binning.ranks, binning.win_tile,
+            binning.win_first, binning.win_start, binning.win_len,
+            binning.enum_kernel_row, binning.enum_start, binning.enum_cnt,
+            cfg.tiles.chunk, ts, tiles_x, tiles_x * band_ty,
+            rc.alpha_min, rc.alpha_max, with_labels, interpret,
             rc.early_stop_eps)
         img4 = blend_pallas.tiles_to_image(
             out_tiles[:, 0:4, :], tiles_x, band_ty, ts, width, band_h)
         rgb, transmit = img4[..., 0:3], img4[..., 3]
-        return rgb + transmit[..., None] * bg[None, None, :]
+        image = rgb + transmit[..., None] * bg[None, None, :]
+        if not with_labels:
+            return image
+        lab4 = blend_pallas.tiles_to_image(
+            out_tiles[:, 4:6, :], tiles_x, band_ty, ts, width, band_h)
+        return image, transmit, lab4
+
+    if not with_labels:
+        fn = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(AXES), P()),
+            out_specs=P(AXES, None, None),
+            check_vma=False)
+        return fn(scene, background)
 
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(AXES), P()),
-        out_specs=P(AXES, None, None),
+        out_specs=(P(AXES, None, None), P(AXES, None),
+                   P(AXES, None, None)),
         check_vma=False)
-    return fn(scene, background)
+    image, transmit, lab4 = fn(scene, background)
+    best_w, labf = lab4[..., 0], lab4[..., 1]
+    return dict(
+        image=image, transmittance=transmit, alpha=1.0 - transmit,
+        best_weight=best_w,
+        label_map=jnp.where(best_w > 0.0,
+                            jnp.round(labf).astype(jnp.int32), UNLABELED))
 
 
 def make_sharded_render_fn(
@@ -128,15 +159,16 @@ def make_sharded_render_fn(
     cfg: Config,
     budget_per_device: int,
     interpret: bool = False,
+    with_labels: bool = False,
 ):
     """jit-compiled closure over the static configuration."""
 
     @jax.jit
     def fn(scene: GaussianScene, cam: CameraParams,
-           background: jax.Array) -> jax.Array:
+           background: jax.Array):
         return render_sharded(
             scene, cam, mesh, width=width, height=height, cfg=cfg,
             budget_per_device=budget_per_device, background=background,
-            interpret=interpret)
+            interpret=interpret, with_labels=with_labels)
 
     return fn

@@ -21,22 +21,19 @@ from gsplat_tpu.render import blend_pallas, blend_xla
 from gsplat_tpu.render.projection import CameraParams, Projected, project, tile_grid
 from gsplat_tpu.render.tiles import (Binning, bin_gaussians, bin_windows,
                                      bucket_budget, count_instances,
-                                     count_instances_tight, instance_budget,
-                                     num_windows_static)
+                                     count_instances_tight, count_windows,
+                                     instance_budget, num_windows_static)
 from gsplat_tpu.scene import GaussianScene
 
 
-def pack_scene_table(proj: Projected, labels: jax.Array,
-                     order: jax.Array) -> jax.Array:
-    """[N, 16] rank-indexed per-gaussian parameter table.
+def pack_table(proj: Projected, labels: jax.Array) -> jax.Array:
+    """[N, 16] per-gaussian parameter table in ORIGINAL gaussian order.
 
-    Row r holds the r-th-closest gaussian's packed params; column P_RANK is
-    the row index itself (carried into the kernels so the backward pass can
-    address its gradient scatter). Differentiable: the order-gather's VJP is
-    a unique-index scatter-add back to original gaussian order.
-    """
+    Column packing happens at N size (cheap); depth ordering is applied
+    inside :func:`blend_scene_windows` so its custom VJP can return the
+    gradient directly in original order (no permutation scatters)."""
     n = proj.opacity.shape[0]
-    ptab = jnp.stack([
+    return jnp.stack([
         proj.means2d[:, 0], proj.means2d[:, 1],
         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
         proj.opacity,
@@ -45,7 +42,14 @@ def pack_scene_table(proj: Projected, labels: jax.Array,
         labels.astype(jnp.float32),
     ] + [jnp.zeros((n,), jnp.float32)] * (blend_pallas.PARAM_ROWS - 11),
         axis=1)                                        # [N, 16]
-    ptab_rank = ptab[order]                            # [N, 16]
+
+
+def pack_scene_table(proj: Projected, labels: jax.Array,
+                     order: jax.Array) -> jax.Array:
+    """[N, 16] rank-indexed table with the depth rank in column P_RANK
+    (the non-differentiable visibility path reads it back per instance)."""
+    n = proj.opacity.shape[0]
+    ptab_rank = pack_table(proj, labels)[order]        # [N, 16]
     rank_col = jnp.arange(n, dtype=jnp.float32)[:, None]
     return jax.lax.dynamic_update_slice(
         ptab_rank, rank_col, (0, blend_pallas.P_RANK))
@@ -64,15 +68,19 @@ def _window_params(ptab_rank: jax.Array, ranks: jax.Array,
                            (0, blend_pallas.PARAM_LANES - dense.shape[1])))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12,
-                                                    13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15,
+                                                    16, 17, 18))
 def blend_scene_windows(
-    ptab_rank: jax.Array,    # [N, 16] rank-indexed params
-    ranks: jax.Array,        # [B] i32 sorted instance ranks
-    win_tile: jax.Array,     # [K] i32
-    win_first: jax.Array,    # [K] i32
-    win_start: jax.Array,    # [K] i32
-    win_len: jax.Array,      # [K] i32
+    ptab: jax.Array,            # [N, 16] params in ORIGINAL gaussian order
+    order: jax.Array,           # [N] i32 depth-sorted gaussian indices
+    ranks: jax.Array,           # [B] i32 sorted instance ranks
+    win_tile: jax.Array,        # [K] i32
+    win_first: jax.Array,       # [K] i32
+    win_start: jax.Array,       # [K] i32
+    win_len: jax.Array,         # [K] i32
+    enum_kernel_row: jax.Array,  # [B] i32 grad-row per enumeration index
+    enum_start: jax.Array,      # [N] i32 enumeration offsets (orig order)
+    enum_cnt: jax.Array,        # [N] i32 enumeration counts (orig order)
     chunk: int,
     tile_size: int,
     tiles_x: int,
@@ -83,8 +91,16 @@ def blend_scene_windows(
     interpret: bool,
     early_eps: float,
 ) -> jax.Array:
-    """Differentiable window compositing. Returns [num_tiles, 8, P]."""
-    params = _window_params(ptab_rank, ranks, chunk)
+    """Differentiable window compositing. Returns [num_tiles, 8, P].
+
+    The custom VJP folds the backward kernel's per-instance grad rows back
+    onto gaussians WITHOUT a scatter-add: rows are gathered into enumeration
+    order (instances of one gaussian are consecutive there) and segment-
+    summed via one cumsum + two boundary row-gathers — ~1.5ms where the
+    scatter-add costs ~4.8ms at 206k instances on v5e. The gradient comes
+    out directly in original gaussian order, so no permutation scatters
+    either."""
+    params = _window_params(ptab[order], ranks, chunk)
     return blend_pallas.blend_windows_fwd(
         params, win_tile, win_first, win_start, win_len, chunk=chunk,
         tile_size=tile_size, tiles_x=tiles_x, num_tiles=num_tiles,
@@ -92,43 +108,56 @@ def blend_scene_windows(
         interpret=interpret, early_eps=early_eps)
 
 
-def _blend_windows_fwd_rule(ptab_rank, ranks, win_tile, win_first, win_start,
-                            win_len, chunk, tile_size, tiles_x, num_tiles,
+def _blend_windows_fwd_rule(ptab, order, ranks, win_tile, win_first,
+                            win_start, win_len, enum_kernel_row, enum_start,
+                            enum_cnt, chunk, tile_size, tiles_x, num_tiles,
                             alpha_min, alpha_max, with_labels, interpret,
                             early_eps):
-    params = _window_params(ptab_rank, ranks, chunk)
+    params = _window_params(ptab[order], ranks, chunk)
     out = blend_pallas.blend_windows_fwd(
         params, win_tile, win_first, win_start, win_len, chunk=chunk,
         tile_size=tile_size, tiles_x=tiles_x, num_tiles=num_tiles,
         alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels,
         interpret=interpret, early_eps=early_eps)
-    res = (params, ranks, win_tile, win_first, win_start, win_len, out,
-           ptab_rank.shape[0])
+    res = (params, order, ranks, win_tile, win_first, win_start, win_len,
+           enum_kernel_row, enum_start, enum_cnt, out)
     return out, res
 
 
 def _blend_windows_bwd_rule(chunk, tile_size, tiles_x, num_tiles, alpha_min,
                             alpha_max, with_labels, interpret, early_eps,
                             res, g):
-    params, ranks, win_tile, win_first, win_start, win_len, out, n = res
+    (params, order, ranks, win_tile, win_first, win_start, win_len,
+     enum_kernel_row, enum_start, enum_cnt, out) = res
+    n = order.shape[0]
     grgb = g[:, 0:3, :]
     gt = g[:, 3:4, :]
+    # Per-pixel total D = C . dC + T_final . dT (suffix-sum seed).
     d = (jnp.sum(out[:, 0:3, :] * grgb, axis=1, keepdims=True)
          + out[:, 3:4, :] * gt)
     drows = blend_pallas.blend_windows_bwd(
         params, win_tile, win_first, win_start, win_len, grgb, d,
         chunk=chunk, tile_size=tile_size, tiles_x=tiles_x,
         num_tiles=num_tiles, alpha_min=alpha_min, alpha_max=alpha_max,
-        interpret=interpret, early_eps=early_eps, n_rank=n)
-    # One scatter-add folds every instance-gradient row back onto its
-    # gaussian's rank row; dead rows carry rank == n and drop. The rank
-    # column itself lands in dptab[:, P_RANK], which no caller consumes.
-    idx = drows[:, blend_pallas.P_RANK].astype(jnp.int32)
-    dptab = jnp.zeros((n, blend_pallas.PARAM_ROWS), jnp.float32
-                      ).at[idx].add(drows, mode="drop")
+        interpret=interpret, early_eps=early_eps)
+    # Enumeration-order segment sum (dropped instances index OOB -> zero).
+    krows = drows.shape[0]
+    budget = enum_kernel_row.shape[0]
+    rows = jnp.where(
+        (enum_kernel_row < krows)[:, None],
+        drows.at[jnp.minimum(enum_kernel_row, krows - 1)].get(mode="clip"),
+        0.0)                                           # [B, 16] enum order
+    cs = jnp.cumsum(rows, axis=0)
+    hi = cs.at[jnp.clip(enum_start + enum_cnt - 1, 0, budget - 1)].get(
+        mode="clip")
+    lo = jnp.where((enum_start > 0)[:, None],
+                   cs.at[jnp.maximum(enum_start - 1, 0)].get(mode="clip"),
+                   0.0)
+    dptab = jnp.where((enum_cnt > 0)[:, None], hi - lo, 0.0)  # [N, 16]
     zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return (dptab, zi(ranks), zi(win_tile), zi(win_first), zi(win_start),
-            zi(win_len))
+    return (dptab, zi(order), zi(ranks), zi(win_tile), zi(win_first),
+            zi(win_start), zi(win_len), zi(enum_kernel_row), zi(enum_start),
+            zi(enum_cnt))
 
 
 blend_scene_windows.defvjp(_blend_windows_fwd_rule, _blend_windows_bwd_rule)
@@ -203,7 +232,7 @@ def pack_instance_params(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "cfg", "with_labels", "impl",
-                     "interpret", "budget", "kernel_budget"))
+                     "interpret", "budget", "kernel_budget", "num_windows"))
 def _render_impl(
     scene: GaussianScene,
     cam: CameraParams,
@@ -217,6 +246,7 @@ def _render_impl(
     interpret: bool,
     budget: int,
     kernel_budget: Optional[int] = None,
+    num_windows: Optional[int] = None,
 ) -> Dict[str, jax.Array]:
     rc = cfg.raster
     proj = project(scene, cam, width, height, rc,
@@ -235,11 +265,13 @@ def _render_impl(
     tiles_x, tiles_y = tile_grid(width, height, rc.tile_size)
     binning = bin_windows(
         proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_size=rc.tile_size,
-        chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget)
-    ptab_rank = pack_scene_table(proj, scene.labels, binning.order)
+        chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget,
+        num_windows=num_windows)
+    ptab = pack_table(proj, scene.labels)
     out_tiles = blend_scene_windows(
-        ptab_rank, binning.ranks, binning.win_tile, binning.win_first,
-        binning.win_start, binning.win_len,
+        ptab, binning.order, binning.ranks, binning.win_tile,
+        binning.win_first, binning.win_start, binning.win_len,
+        binning.enum_kernel_row, binning.enum_start, binning.enum_cnt,
         cfg.tiles.chunk, rc.tile_size, tiles_x, tiles_x * tiles_y,
         rc.alpha_min, rc.alpha_max, with_labels, interpret,
         rc.early_stop_eps)
@@ -263,7 +295,7 @@ def _render_impl(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "cfg", "with_labels", "interpret",
-                     "budget", "kernel_budget"))
+                     "budget", "kernel_budget", "num_windows"))
 def _render_vis_impl(
     scene: GaussianScene,
     cam: CameraParams,
@@ -276,6 +308,7 @@ def _render_vis_impl(
     interpret: bool,
     budget: int,
     kernel_budget: Optional[int] = None,
+    num_windows: Optional[int] = None,
 ) -> Dict[str, jax.Array]:
     """Forward render that also returns per-gaussian visibility weights
     (max blend weight over any pixel) — evidence for occlusion-aware
@@ -286,7 +319,8 @@ def _render_vis_impl(
     tiles_x, tiles_y = tile_grid(width, height, rc.tile_size)
     binning = bin_windows(
         proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_size=rc.tile_size,
-        chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget)
+        chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget,
+        num_windows=num_windows)
     ptab_rank = pack_scene_table(proj, scene.labels, binning.order)
     params = _window_params(ptab_rank, binning.ranks, cfg.tiles.chunk)
     out_tiles, wrows = blend_pallas.blend_windows_vis(
@@ -339,6 +373,7 @@ def render(
     if background is None:
         background = jnp.asarray(cfg.raster.background, jnp.float32)
     kernel_budget = None
+    num_windows = None
     if budget is None:
         # measure the exact instance counts (cheap jitted passes), then
         # bucket them so repeated renders share compiled programs
@@ -350,30 +385,46 @@ def render(
             budget = instance_budget(scene.num_gaussians, cfg.tiles.chunk,
                                      cfg.tiles.budget_factor)
         else:
-            tx, ty = tile_grid(camera.width, camera.height,
-                               cfg.raster.tile_size)
-            proj = project(
-                scene, CameraParams.from_camera(camera), camera.width,
-                camera.height, cfg.raster, z_near=cfg.camera.z_near,
-                z_far=cfg.camera.z_far)
-            cnt = int(count_instances(
-                proj, tiles_x=tx, tiles_y=ty,
-                tile_size=cfg.raster.tile_size))
-            budget = bucket_budget(cnt, cfg.tiles.chunk)
-            tight = int(count_instances_tight(
-                proj, tiles_x=tx, tiles_y=ty,
-                tile_size=cfg.raster.tile_size, budget=budget))
-            kernel_budget = bucket_budget(tight, cfg.tiles.chunk)
+            budget, kernel_budget, num_windows = measure_budgets(
+                scene, camera, cfg)
     if impl == "pallas_vis":
         return _render_vis_impl(
             scene, CameraParams.from_camera(camera),
             jnp.asarray(background, jnp.float32),
             width=camera.width, height=camera.height, cfg=cfg,
             with_labels=with_labels, interpret=interpret, budget=budget,
-            kernel_budget=kernel_budget)
+            kernel_budget=kernel_budget, num_windows=num_windows)
     return _render_impl(
         scene, CameraParams.from_camera(camera),
         jnp.asarray(background, jnp.float32),
         width=camera.width, height=camera.height, cfg=cfg,
         with_labels=with_labels, impl=impl, interpret=interpret,
-        budget=budget, kernel_budget=kernel_budget)
+        budget=budget, kernel_budget=kernel_budget, num_windows=num_windows)
+
+
+def measure_budgets(scene: GaussianScene, camera: Camera,
+                    cfg: Config = DEFAULT):
+    """Measure + bucket (budget, kernel_budget, num_windows) for a scene /
+    camera pair: three cheap jitted probes whose bucketed results let
+    repeated renders share compiled programs. ``num_windows`` right-sizes
+    the Pallas grid so padding windows don't burn ~0.45us grid steps."""
+    tx, ty = tile_grid(camera.width, camera.height, cfg.raster.tile_size)
+    proj = project(
+        scene, CameraParams.from_camera(camera), camera.width,
+        camera.height, cfg.raster, z_near=cfg.camera.z_near,
+        z_far=cfg.camera.z_far)
+    cnt = int(count_instances(
+        proj, tiles_x=tx, tiles_y=ty, tile_size=cfg.raster.tile_size))
+    budget = bucket_budget(cnt, cfg.tiles.chunk)
+    tight = int(count_instances_tight(
+        proj, tiles_x=tx, tiles_y=ty, tile_size=cfg.raster.tile_size,
+        budget=budget))
+    kernel_budget = bucket_budget(tight, cfg.tiles.chunk)
+    nw = int(count_windows(
+        proj, tiles_x=tx, tiles_y=ty, tile_size=cfg.raster.tile_size,
+        chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget))
+    num_windows = max(min(bucket_budget(nw, 8, slack=1.05),
+                          num_windows_static(kernel_budget, cfg.tiles.chunk,
+                                             tx * ty)),
+                      tx * ty + 1)
+    return budget, kernel_budget, num_windows

@@ -55,6 +55,10 @@ class WindowBinning(NamedTuple):
     win_first: jax.Array  # [K] i32: 1 where window is its tile's first
     win_start: jax.Array  # [K] i32: row offset into the sorted stream
     win_len: jax.Array    # [K] i32: live rows in the window (0..chunk)
+    enum_kernel_row: jax.Array  # [B] i32: kernel grad-output row per
+    #                     ENUMERATION index (gaussian-major), OOB if dropped
+    enum_start: jax.Array  # [N] i32: first enumeration index per gaussian
+    enum_cnt: jax.Array    # [N] i32: bbox candidate count per gaussian
     num_instances: jax.Array  # scalar i32 (tight count, pre-drop)
     num_dropped: jax.Array    # scalar i32
 
@@ -64,14 +68,17 @@ class WindowBinning(NamedTuple):
 
 
 def num_windows_static(kernel_budget: int, chunk: int, num_tiles: int) -> int:
-    """Static window count: every tile owns >= 1 window and the per-tile
-    proportional cap bounds total live rows by kernel_budget."""
+    """Static window count UPPER BOUND: every tile owns >= 1 window and the
+    per-tile proportional cap bounds total live rows by kernel_budget.
+    Callers that can measure should pass ``count_windows`` (bucketed) as
+    ``num_windows`` instead — the bound above overshoots by ~25% of grid
+    steps on typical scenes (padding windows cost ~0.45us each on v5e)."""
     return kernel_budget // chunk + num_tiles
 
 
 @functools.partial(
     jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_size", "chunk",
-                              "budget", "kernel_budget"))
+                              "budget", "kernel_budget", "num_windows"))
 def bin_windows(
     proj: Projected,
     *,
@@ -81,6 +88,7 @@ def bin_windows(
     chunk: int,
     budget: int,
     kernel_budget: Optional[int] = None,
+    num_windows: Optional[int] = None,
 ) -> WindowBinning:
     """Window binning (see WindowBinning). Enumeration runs in ORIGINAL
     gaussian order; depth ordering rides the sort key, so no per-gaussian
@@ -167,19 +175,23 @@ def bin_windows(
 
     # --- ONE packed-key sort: key = tile << RB | rank. Unique keys (one
     # instance per (gaussian, tile)), so the unstable single-array sort is
-    # deterministic and equal-tile runs come out depth-ordered.
+    # deterministic and equal-tile runs come out depth-ordered. The
+    # enumeration index rides along as payload: the blend VJP segment-sums
+    # instance gradients in enumeration order (gaussian-major), which needs
+    # the stream-position -> enumeration-index map.
     rank_bits = max((n - 1).bit_length(), 1)
     if (num_tiles + 1) << rank_bits < 2 ** 31:
         key = (tile << rank_bits) | e_rank
-        keys = jax.lax.sort(jnp.where(keep, key, (num_tiles << rank_bits)
-                                      | e_rank), is_stable=False)
+        key = jnp.where(keep, key, (num_tiles << rank_bits) | e_rank)
+        keys, je_sorted = jax.lax.sort((key, j), num_keys=1)
         ranks = keys & ((1 << rank_bits) - 1)
         bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) << rank_bits
         tile_start = jnp.searchsorted(keys, bounds, side="left"
                                       ).astype(jnp.int32)
     else:
         # huge-scene fallback: two-key lexicographic sort
-        inst_tile, ranks = jax.lax.sort((tile, e_rank), num_keys=2)
+        inst_tile, ranks, je_sorted = jax.lax.sort(
+            (tile, e_rank, j), num_keys=2)
         tile_start = jnp.searchsorted(
             inst_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
             side="left").astype(jnp.int32)
@@ -194,11 +206,29 @@ def bin_windows(
     n_keep = jnp.where(
         over, jnp.floor(n_t.astype(jnp.float32) * scale).astype(jnp.int32),
         n_t)
-    num_dropped = (jnp.maximum(total - budget, 0) + jnp.sum(n_t - n_keep))
 
     # --- windows: tile t owns max(ceil(n_keep/chunk), 1) consecutive windows
-    k_static = num_windows_static(kernel_budget, chunk, num_tiles)
+    if num_windows is None:
+        k_static = num_windows_static(kernel_budget, chunk, num_tiles)
+    else:
+        k_static = max(num_windows, num_tiles + 1)
     nw = jnp.maximum(-(-n_keep // chunk), 1)
+    # Window-count cap (binds only when the measured/bucketed num_windows
+    # undershot): shrink the multi-window tiles proportionally, shedding
+    # their deepest instances, so sum(nw) <= k_static always holds.
+    nw_total0 = jnp.sum(nw)
+    over_w = nw_total0 > k_static
+    scale_w = jnp.where(
+        over_w,
+        (k_static - num_tiles) / jnp.maximum(nw_total0 - num_tiles, 1), 1.0)
+    nw = jnp.where(
+        over_w,
+        1 + jnp.floor((nw - 1).astype(jnp.float32) * scale_w
+                      ).astype(jnp.int32),
+        nw)
+    n_keep = jnp.minimum(n_keep, nw * chunk)
+    num_dropped = (jnp.maximum(total - budget, 0) + jnp.sum(n_t - n_keep))
+
     wstart_t = jnp.cumsum(nw) - nw                     # [T] first window idx
     nw_total = wstart_t[-1] + nw[-1]
     kk = jnp.arange(k_static, dtype=jnp.int32)
@@ -214,13 +244,38 @@ def bin_windows(
     pad = kk >= nw_total
     win_tile = jnp.where(pad, num_tiles - 1, win_tile)
     win_first = jnp.where(pad, 0, win_first)
-    win_start = jnp.where(pad, 0, win_start)
+    win_start_pad = jnp.where(pad, 0, win_start)
     win_len = jnp.where(pad, 0, win_len)
 
+    # --- enumeration-index -> kernel grad-output row. The backward kernel
+    # writes window k's grad rows at [k*(chunk+WIN_PAD) + (s - base_k)] for
+    # stream position s, base_k = 8-aligned fetch start. Spread the owning
+    # window index / start / end down the stream with three cummaxes (all
+    # monotone along the stream), then scatter through the sort payload.
+    from gsplat_tpu.render.blend_pallas import WIN_PAD
+    s_idx = j  # stream positions [budget]
+    drop_pad = jnp.where(pad, budget, win_start_pad)  # OOB -> dropped seeds
+    wids = jnp.arange(k_static, dtype=jnp.int32)
+    w_of_s = jax.lax.cummax(
+        jnp.zeros((budget,), jnp.int32).at[drop_pad].max(wids, mode="drop"))
+    ws_of_s = jax.lax.cummax(
+        jnp.zeros((budget,), jnp.int32).at[drop_pad].max(
+            win_start, mode="drop"))
+    we_of_s = jax.lax.cummax(
+        jnp.zeros((budget,), jnp.int32).at[drop_pad].max(
+            win_start + win_len, mode="drop"))
+    base = (ws_of_s // 8) * 8
+    kernel_row = w_of_s * (chunk + WIN_PAD) + (s_idx - base)
+    krows = k_static * (chunk + WIN_PAD)
+    kernel_row = jnp.where(s_idx < we_of_s, kernel_row, krows)
+    enum_kernel_row = jnp.full((budget,), krows, jnp.int32).at[
+        je_sorted].set(kernel_row, mode="drop", unique_indices=True)
+
     return WindowBinning(order=order, ranks=ranks, win_tile=win_tile,
-                         win_first=win_first, win_start=win_start,
-                         win_len=win_len, num_instances=tight,
-                         num_dropped=num_dropped)
+                         win_first=win_first, win_start=win_start_pad,
+                         win_len=win_len, enum_kernel_row=enum_kernel_row,
+                         enum_start=offsets, enum_cnt=cnt,
+                         num_instances=tight, num_dropped=num_dropped)
 
 
 class Binning(NamedTuple):
@@ -364,6 +419,57 @@ def count_instances_tight(proj: Projected, *, tiles_x: int, tiles_y: int,
         tiles_x=tiles_x, tiles_y=tiles_y, tile_size=tile_size, budget=budget,
         n=n)[3]
     return tight
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_size", "chunk",
+                              "budget", "kernel_budget"))
+def count_windows(proj: Projected, *, tiles_x: int, tiles_y: int,
+                  tile_size: int, chunk: int, budget: int,
+                  kernel_budget: int) -> jax.Array:
+    """Exact window count bin_windows will produce (before window-shedding):
+    sum over tiles of max(ceil(n_keep/chunk), 1). Used to right-size the
+    static grid so padding windows don't burn grid steps (~0.45us each)."""
+    n = proj.depth.shape[0]
+    num_tiles = tiles_x * tiles_y
+    ts = float(tile_size)
+    u, v = proj.means2d[:, 0], proj.means2d[:, 1]
+    x0, y0, bw, cnt = _tile_bbox(u, v, proj.extent[:, 0], proj.extent[:, 1],
+                                 proj.valid, ts, tiles_x, tiles_y)
+    offsets = jnp.cumsum(cnt) - cnt
+    total = offsets[-1] + cnt[-1]
+    j = jnp.arange(budget, dtype=jnp.int32)
+    marks = jnp.zeros((budget,), jnp.int32).at[offsets].add(
+        1, mode="drop", indices_are_sorted=True)
+    g = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
+    inside = j < total
+    etab = jnp.stack([
+        offsets.astype(jnp.float32), jnp.maximum(bw, 1).astype(jnp.float32),
+        x0.astype(jnp.float32), y0.astype(jnp.float32),
+        u, v, proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        proj.qmax,
+    ] + [jnp.zeros((n,), jnp.float32)] * 6, axis=1)
+    erow = etab.at[g].get(indices_are_sorted=True)
+    local = j - erow[:, 0].astype(jnp.int32)
+    bw_g = erow[:, 1]
+    row = jnp.floor((local.astype(jnp.float32) + 0.5) / bw_g)
+    col = (local.astype(jnp.float32) - row * bw_g).astype(jnp.int32)
+    tcol = erow[:, 2].astype(jnp.int32) + col
+    trow = erow[:, 3].astype(jnp.int32) + row.astype(jnp.int32)
+    tile = trow * tiles_x + tcol
+    min_q = _rect_min_q(erow[:, 4], erow[:, 5], erow[:, 6], erow[:, 7],
+                        erow[:, 8], tcol.astype(jnp.float32) * ts,
+                        trow.astype(jnp.float32) * ts, ts)
+    keep = inside & (min_q <= erow[:, 9])
+    tight = jnp.sum(keep.astype(jnp.int32))
+    n_t = jnp.zeros((num_tiles + 1,), jnp.int32).at[
+        jnp.where(keep, tile, num_tiles)].add(1, mode="drop")[:num_tiles]
+    over = tight > kernel_budget
+    scale = jnp.where(over, kernel_budget / jnp.maximum(tight, 1), 1.0)
+    n_keep = jnp.where(
+        over, jnp.floor(n_t.astype(jnp.float32) * scale).astype(jnp.int32),
+        n_t)
+    return jnp.sum(jnp.maximum(-(-n_keep // chunk), 1))
 
 
 def bucket_budget(count: int, chunk: int, *, slack: float = 1.08,

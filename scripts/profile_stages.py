@@ -15,7 +15,7 @@ from gsplat_tpu.io.cameras import look_at_camera
 from gsplat_tpu.io.synthetic import random_scene
 from gsplat_tpu.models.trainer import SceneParams
 from gsplat_tpu.render.api import (_render_impl, _window_params,
-                                   blend_scene_windows, pack_scene_table)
+                                   blend_scene_windows, pack_table)
 from gsplat_tpu.render import blend_pallas
 from gsplat_tpu.render.projection import CameraParams, project, tile_grid
 from gsplat_tpu.render.tiles import bin_windows, bucket_budget, count_instances
@@ -79,8 +79,8 @@ def st_pack(c, s):
     b = bin_windows(p, tiles_x=tx, tiles_y=ty,
                     tile_size=cfg.raster.tile_size, chunk=cfg.tiles.chunk,
                     budget=budget)
-    ptab = pack_scene_table(p, s.labels, b.order)
-    params = _window_params(ptab, b.ranks, cfg.tiles.chunk)
+    ptab = pack_table(p, s.labels)
+    params = _window_params(ptab[b.order], b.ranks, cfg.tiles.chunk)
     return params[0, 0] * 1e-30
 
 
@@ -108,16 +108,16 @@ def st_fwdbwd(c, s):
 b0 = bin_windows(proj0, tiles_x=tx, tiles_y=ty,
                  tile_size=cfg.raster.tile_size, chunk=cfg.tiles.chunk,
                  budget=budget)
-ptab0 = jax.block_until_ready(
-    pack_scene_table(proj0, scene.labels, b0.order))
+ptab0 = jax.block_until_ready(pack_table(proj0, scene.labels))
 wt0, wf0, ws0, wl0 = b0.win_tile, b0.win_first, b0.win_start, b0.win_len
-rk0 = b0.ranks
+rk0, ord0 = b0.ranks, b0.order
+ekr0, es0, ec0 = b0.enum_kernel_row, b0.enum_start, b0.enum_cnt
 
 
 def st_blend(c, ptab):
     out = blend_scene_windows(
-        ptab + c * 1e-30, rk0, wt0, wf0, ws0, wl0, cfg.tiles.chunk,
-        cfg.raster.tile_size, tx, tx * ty,
+        ptab + c * 1e-30, ord0, rk0, wt0, wf0, ws0, wl0, ekr0, es0, ec0,
+        cfg.tiles.chunk, cfg.raster.tile_size, tx, tx * ty,
         cfg.raster.alpha_min, cfg.raster.alpha_max, False, interpret,
         cfg.raster.early_stop_eps)
     return out[0, 0, 0] * 1e-30
@@ -126,8 +126,8 @@ def st_blend(c, ptab):
 def st_blend_bwd(c, ptab):
     def f(p):
         out = blend_scene_windows(
-            p, rk0, wt0, wf0, ws0, wl0, cfg.tiles.chunk,
-            cfg.raster.tile_size, tx, tx * ty,
+            p, ord0, rk0, wt0, wf0, ws0, wl0, ekr0, es0, ec0,
+            cfg.tiles.chunk, cfg.raster.tile_size, tx, tx * ty,
             cfg.raster.alpha_min, cfg.raster.alpha_max, False, interpret,
             cfg.raster.early_stop_eps)
         return jnp.sum(out[:, 0:3, :])

@@ -16,7 +16,7 @@ from gsplat_tpu.config import Config
 from gsplat_tpu.io.cameras import look_at_camera
 from gsplat_tpu.io.synthetic import random_scene
 from gsplat_tpu.render import blend_pallas
-from gsplat_tpu.render.api import _window_params, pack_scene_table
+from gsplat_tpu.render.api import _window_params, pack_table
 from gsplat_tpu.render.projection import CameraParams, project, tile_grid
 from gsplat_tpu.render.tiles import (bin_windows, bucket_budget,
                                      count_instances, count_instances_tight)
@@ -39,8 +39,8 @@ tight = int(count_instances_tight(proj0, tiles_x=tx, tiles_y=ty,
 kb = bucket_budget(tight, CHUNK)
 b = bin_windows(proj0, tiles_x=tx, tiles_y=ty, tile_size=ts, chunk=CHUNK,
                 budget=budget, kernel_budget=kb)
-ptab = jax.block_until_ready(pack_scene_table(proj0, scene.labels, b.order))
-params = jax.block_until_ready(_window_params(ptab, b.ranks, CHUNK))
+ptab = jax.block_until_ready(pack_table(proj0, scene.labels))
+params = jax.block_until_ready(_window_params(ptab[b.order], b.ranks, CHUNK))
 k_static = b.win_tile.shape[0]
 import numpy as np
 nlive = int(np.sum(np.asarray(b.win_len) > 0))
