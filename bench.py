@@ -122,11 +122,13 @@ def main() -> None:
         return time.time() - t0
 
     # remote-tunnel RTT jitters by tens of ms: take the slope between two
-    # well-separated iteration counts, min-of-3 each, so a single slow RPC
-    # can neither inflate nor deflate the per-frame figure
+    # well-separated iteration counts, MEDIAN-of-5 each — min-of-3 let a
+    # single fast outlier understate the frame time by ~40% once (r2 notes)
+    import statistics
+
     n_hi, n_lo = args.iters + 1, max(args.iters // 4, 1)
-    dt_hi = min(timed(n_hi) for _ in range(3))
-    dt_lo = min(timed(n_lo) for _ in range(3))
+    dt_hi = statistics.median(timed(n_hi) for _ in range(5))
+    dt_lo = statistics.median(timed(n_lo) for _ in range(5))
     dt = max((dt_hi - dt_lo) / (n_hi - n_lo), 1e-6)
     mpix = args.width * args.height / dt / 1e6
 

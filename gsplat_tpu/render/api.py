@@ -19,10 +19,10 @@ from gsplat_tpu.config import Config, DEFAULT, UNLABELED
 from gsplat_tpu.io.cameras import Camera
 from gsplat_tpu.render import blend_pallas, blend_xla
 from gsplat_tpu.render.projection import CameraParams, Projected, project, tile_grid
-from gsplat_tpu.render.tiles import (Binning, bin_gaussians, bin_windows,
-                                     bucket_budget, count_instances,
-                                     count_instances_tight, count_windows,
-                                     instance_budget, num_windows_static)
+from gsplat_tpu.render.tiles import (bin_windows, bucket_budget,
+                                     count_instances, count_instances_tight,
+                                     count_windows, instance_budget,
+                                     num_windows_static)
 from gsplat_tpu.scene import GaussianScene
 
 
@@ -161,72 +161,6 @@ def _blend_windows_bwd_rule(chunk, tile_size, tiles_x, num_tiles, alpha_min,
 
 
 blend_scene_windows.defvjp(_blend_windows_fwd_rule, _blend_windows_bwd_rule)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _gather_instance_rows(ptab_sorted, inst_gauss, inst_dst, enum_start,
-                          enum_cnt):
-    rows = ptab_sorted[jnp.maximum(inst_gauss, 0)]     # [B_pad, 16]
-    return jnp.where((inst_gauss >= 0)[:, None], rows, 0.0)
-
-
-def _gather_rows_fwd(ptab_sorted, inst_gauss, inst_dst, enum_start, enum_cnt):
-    out = _gather_instance_rows(ptab_sorted, inst_gauss, inst_dst, enum_start,
-                                enum_cnt)
-    return out, (inst_gauss, inst_dst, enum_start, enum_cnt,
-                 ptab_sorted.shape[0])
-
-
-def _gather_rows_bwd(res, drows):
-    """Instance->gaussian gradient reduction WITHOUT a scatter-add (~5ms at
-    300k rows on v5e): reorder the per-slot gradient rows into enumeration
-    order (instances of one gaussian are consecutive there), then segment-sum
-    consecutive runs via one cumsum + two boundary row-gathers (~2ms)."""
-    inst_gauss, inst_dst, enum_start, enum_cnt, n = res
-    b_pad = inst_gauss.shape[0]
-    budget = inst_dst.shape[0]
-    kept = inst_dst < b_pad
-    denum = jnp.where(
-        kept[:, None], drows[jnp.minimum(inst_dst, b_pad - 1)], 0.0)
-    cs = jnp.cumsum(denum, axis=0)                     # [B, 16] f32
-    hi_idx = jnp.clip(enum_start + enum_cnt - 1, 0, budget - 1)
-    hi = cs[hi_idx]
-    lo = jnp.where((enum_start > 0)[:, None],
-                   cs[jnp.maximum(enum_start - 1, 0)], 0.0)
-    dptab = jnp.where((enum_cnt > 0)[:, None], hi - lo, 0.0)
-    zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return (dptab, zi(inst_gauss), zi(inst_dst), zi(enum_start),
-            zi(enum_cnt))
-
-
-_gather_instance_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
-
-
-def pack_instance_params(
-    proj: Projected,
-    labels: jax.Array,
-    binning: Binning,
-) -> jax.Array:
-    """Gather projected gaussians into the [B_pad, 16] per-instance matrix.
-
-    Column packing happens at N size (cheap) so the B_pad-sized expansion is
-    ONE row gather; its custom VJP segment-sums instance gradients back to
-    gaussians in enumeration order instead of paying XLA's scatter-add.
-    """
-    n = proj.opacity.shape[0]
-    ptab = jnp.stack([
-        proj.means2d[:, 0], proj.means2d[:, 1],
-        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-        proj.opacity,
-        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
-        jnp.ones((n,), jnp.float32),
-        labels.astype(jnp.float32),
-    ] + [jnp.zeros((n,), jnp.float32)] * (blend_pallas.PARAM_ROWS - 11),
-        axis=1)                                        # [N, 16]
-    ptab_sorted = ptab[binning.order]                  # [N, 16]
-    return _gather_instance_rows(ptab_sorted, binning.inst_gauss,
-                                 binning.inst_dst, binning.enum_start,
-                                 binning.enum_cnt)
 
 
 @functools.partial(
@@ -423,7 +357,9 @@ def measure_budgets(scene: GaussianScene, camera: Camera,
     nw = int(count_windows(
         proj, tiles_x=tx, tiles_y=ty, tile_size=cfg.raster.tile_size,
         chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget))
-    num_windows = max(min(bucket_budget(nw, 8, slack=1.05),
+    # finer window buckets (step 1.1): a grid step costs ~0.45us whether it
+    # works or not, so 1.25-steps waste up to ~20% of the kernel walltime
+    num_windows = max(min(bucket_budget(nw, 8, slack=1.04, step=1.1),
                           num_windows_static(kernel_budget, cfg.tiles.chunk,
                                              tx * ty)),
                       tx * ty + 1)

@@ -6,13 +6,14 @@ vertex/fragment shaders + GPU blend unit (gaussians_selection.js:661-800,
 
 Design (see gsplat_tpu/render/tiles.py for the binning that feeds this):
 
-- The instance list is cut into fixed ``CHUNK``-length chunks; grid = one
-  Pallas step per chunk, walked sequentially. ``chunk_tile[k]`` (scalar
-  prefetch) names the owning tile; consecutive chunks of one tile revisit the
-  same output block, which therefore stays resident in VMEM and doubles as
-  the per-pixel carry (premultiplied RGB + transmittance). ``chunk_live[k]``
-  gates all compute: all-padding chunks (tight-filter shrinkage, per-tile
-  alignment, budget slack) cost only the grid step.
+- The depth-sorted instance stream stays DENSE in (tile, depth) order; each
+  grid step double-buffer-DMAs one ``CHUNK``-row *window* of it from HBM at
+  a dynamic offset (scalar-prefetched ``win_start``). ``win_tile[k]`` names
+  the owning tile; consecutive windows of one tile revisit the same output
+  block, which therefore stays resident in VMEM and doubles as the
+  per-pixel carry (premultiplied RGB + transmittance). Dead windows
+  (``win_len == 0``: per-tile padding or grid slack) skip both DMA and
+  compute, costing only the ~0.45us grid step.
 - All compute is VPU: the Mahalanobis quadratic form is broadcast
   arithmetic in tile-local pixel coordinates (f32-exact), and the
   per-gaussian gradient moments are axis reductions over dx/dy products.
@@ -22,15 +23,15 @@ Design (see gsplat_tpu/render/tiles.py for the binning that feeds this):
   over the whole grid and Mosaic does not lower bf16x3. Reducing over dx/dy
   directly also avoids the catastrophic (x/sigma)^2 cancellation the
   monomial-reconstruction (dq @ F^T) formulation suffers on small splats.
-- Front-to-back compositing inside a chunk is an exclusive cumulative
+- Front-to-back compositing inside a window is an exclusive cumulative
   product of (1 - alpha) along the gaussian (sublane) axis — a log2(CHUNK)
   shift-multiply scan — seeded by the tile's carried transmittance.
-- Backward re-walks the chunks in the same order with the standard
+- Backward re-walks the windows in the same order with the standard
   suffix-sum trick: S_i = D - prefix_i, where the per-pixel total
-  D = C . dC + T_final . dT comes from the forward residuals. Each chunk
-  writes grads for its own instance rows — no atomics anywhere; the
-  instance->gaussian scatter-add is autodiff's transpose of the outer
-  gather.
+  D = C . dC + T_final . dT comes from the forward residuals. Each window
+  writes grad rows into its own disjoint output block — no atomics; the
+  instance->gaussian reduction happens outside via the binning's
+  enumeration-order segment sum (gsplat_tpu/render/api.py).
 
 Forward output layout: out[T, 8, P] rows = [r, g, b, transmittance,
 best_weight, best_label, unused, unused] (label rows only when
@@ -137,332 +138,6 @@ def _accumulate_labels(out_ref, params, w):
     out_ref[0, 5:6, :] = jnp.where(better, lab_best, out_ref[0, 5:6, :])
 
 
-def _fwd_kernel(chunk_tile, chunk_first, chunk_live, params_ref, out_ref, *,
-                tile_size: int, tiles_x: int, alpha_min: float,
-                alpha_max: float, with_labels: bool, early_eps: float):
-    k = pl.program_id(0)
-    t = chunk_tile[k]
-
-    @pl.when(chunk_first[k] == 1)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-        out_ref[0, 3:4, :] = jnp.ones_like(out_ref[0, 3:4, :])
-        if with_labels:
-            out_ref[0, 5:6, :] = jnp.full_like(out_ref[0, 5:6, :], -1.0)
-
-    t_carry = out_ref[0, 3:4, :]                   # (1, P)
-    # Early termination: once every pixel in the tile is saturated
-    # (transmittance < early_eps) remaining chunks change the image by
-    # < early_eps and are skipped. early_eps=0 disables (exact mode).
-    live = chunk_live[k] == 1
-    if early_eps > 0:
-        live &= jnp.max(t_carry) >= early_eps
-
-    @pl.when(live)
-    def _compute():
-        params = params_ref[...]
-        alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
-                                 alpha_max)
-        incl = _cumprod_rows(1.0 - alpha)          # (chunk, P)
-        excl = _shift_down_one(incl, 1.0)
-        w = t_carry * excl * alpha                 # (chunk, P)
-        _accumulate_rgb(out_ref, params, w, t_carry, incl)
-        if with_labels:
-            _accumulate_labels(out_ref, params, w)
-
-
-def _fwd_vis_kernel(chunk_tile, chunk_first, chunk_live, params_ref, out_ref,
-                    w_ref, *, tile_size: int, tiles_x: int, alpha_min: float,
-                    alpha_max: float, with_labels: bool):
-    """Forward blend that additionally records, per instance, the max blend
-    weight over the tile's pixels — per-gaussian visibility evidence for the
-    occlusion-aware vote (capability the reference's center-projection
-    labeler lacks: deep_learning_segmentation.py votes through occluders)."""
-    k = pl.program_id(0)
-    t = chunk_tile[k]
-
-    @pl.when(chunk_first[k] == 1)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-        out_ref[0, 3:4, :] = jnp.ones_like(out_ref[0, 3:4, :])
-        if with_labels:
-            out_ref[0, 5:6, :] = jnp.full_like(out_ref[0, 5:6, :], -1.0)
-
-    w_ref[...] = jnp.zeros_like(w_ref)
-
-    @pl.when(chunk_live[k] == 1)
-    def _compute():
-        params = params_ref[...]
-        alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
-                                 alpha_max)
-        incl = _cumprod_rows(1.0 - alpha)
-        excl = _shift_down_one(incl, 1.0)
-        t_carry = out_ref[0, 3:4, :]
-        w = t_carry * excl * alpha                 # (chunk, P)
-        _accumulate_rgb(out_ref, params, w, t_carry, incl)
-        if with_labels:
-            _accumulate_labels(out_ref, params, w)
-        wmax = jnp.max(w, axis=1, keepdims=True)   # (chunk, 1)
-        w_ref[...] = jnp.broadcast_to(wmax, w_ref.shape)
-
-
-def blend_chunks_vis(params, chunk_tile, chunk_first, chunk_live, tile_size,
-                     tiles_x, num_tiles, alpha_min, alpha_max, with_labels,
-                     interpret):
-    """Forward blend returning (tiles [T, 8, P], inst_weight [B_pad, 8]).
-
-    ``inst_weight[:, 0]`` is each instance's max per-pixel blend weight;
-    segment-max over a gaussian's instances gives its visibility in the
-    view. Not differentiable (labeling path only)."""
-    b_pad = params.shape[0]
-    chunk = b_pad // chunk_tile.shape[0]
-    p = tile_size * tile_size
-    kernel = functools.partial(
-        _fwd_vis_kernel, tile_size=tile_size, tiles_x=tiles_x,
-        alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(chunk_tile.shape[0],),
-        in_specs=[pl.BlockSpec((chunk, PARAM_ROWS),
-                               lambda k, ct, cf, cl: (k, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((1, 8, p), lambda k, ct, cf, cl: (ct[k], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 8), lambda k, ct, cf, cl: (k, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, 8, p), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, 8), jnp.float32),
-        ),
-        interpret=interpret,
-    )(chunk_tile, chunk_first, chunk_live, params)
-
-
-def _bwd_kernel(chunk_tile, chunk_first, chunk_live, params_ref, grgb_ref,
-                d_ref, dparams_ref, carry_ref, *, tile_size: int,
-                tiles_x: int, alpha_min: float, alpha_max: float,
-                early_eps: float):
-    k = pl.program_id(0)
-    t = chunk_tile[k]
-
-    @pl.when(chunk_first[k] == 1)
-    def _init():
-        carry_ref[0:1, :] = jnp.ones_like(carry_ref[0:1, :])   # transmittance
-        carry_ref[1:2, :] = jnp.zeros_like(carry_ref[1:2, :])  # contrib prefix
-
-    live = chunk_live[k] == 1
-    if early_eps > 0:
-        live &= jnp.max(carry_ref[0:1, :]) >= early_eps
-    dparams_ref[...] = jnp.zeros_like(dparams_ref)
-
-    @pl.when(live)
-    def _():
-        _bwd_chunk(k, t, params_ref, grgb_ref, d_ref, dparams_ref,
-                   carry_ref, tile_size=tile_size, tiles_x=tiles_x,
-                   alpha_min=alpha_min, alpha_max=alpha_max)
-
-
-def _bwd_chunk(k, t, params_ref, grgb_ref, d_ref, dparams_ref, carry_ref, *,
-               tile_size: int, tiles_x: int, alpha_min: float,
-               alpha_max: float):
-    params = params_ref[...]
-    alpha, aux = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
-                               alpha_max)
-
-    incl = _cumprod_rows(1.0 - alpha)
-    excl = _shift_down_one(incl, 1.0)
-    t_carry = carry_ref[0:1, :]
-    t_excl = t_carry * excl
-    w = t_excl * alpha
-
-    grgb = grgb_ref[0, :, :]                       # (3, P)
-    colors = params[:, P_R:P_B + 1]                # (chunk, 3)
-    # cg[i, p] = colors[i] . grgb[:, p]: K=3 is too skinny for the MXU —
-    # three broadcast FMAs on the VPU cost ~10x less than the matmul.
-    cg = (colors[:, 0:1] * grgb[0:1, :]
-          + colors[:, 1:2] * grgb[1:2, :]
-          + colors[:, 2:3] * grgb[2:3, :])          # (chunk, P)
-    contrib = w * cg
-    p_incl = carry_ref[1:2, :] + _cumsum_rows(contrib)
-    s = d_ref[0, :, :] - p_incl                    # (chunk, P) suffix + dT term
-
-    live = alpha > 0.0
-    unclamped = live & (aux["raw"] < alpha_max)
-    dalpha = jnp.where(live, t_excl * cg - s / (1.0 - alpha), 0.0)
-    dq = jnp.where(unclamped, -0.5 * alpha * dalpha, 0.0)
-
-    # Per-gaussian gradient moments: lane (pixel-axis) reductions over dq
-    # products with dx/dy — f32-exact on the VPU, and free of the
-    # (x/sigma)^2 cancellation a shared-monomial matmul formulation incurs.
-    dx, dy = aux["dx"], aux["dy"]
-    ca, cb, cc, op = aux["ca"], aux["cb"], aux["cc"], aux["op"]
-    t1 = dq * dx
-    t2 = dq * dy
-
-    def _rsum(x):
-        return jnp.sum(x, axis=1, keepdims=True)   # (chunk, 1)
-
-    cx = _rsum(t1)          # sum dq * dx
-    cy = _rsum(t2)          # sum dq * dy
-    d_ca = _rsum(t1 * dx)
-    d_cc = _rsum(t2 * dy)
-    d_cb = 2.0 * _rsum(t1 * dy)
-    s_1 = _rsum(dq)
-    d_mx = -2.0 * ca * cx - 2.0 * cb * cy
-    d_my = -2.0 * cc * cy - 2.0 * cb * cx
-    d_op = -2.0 * s_1 / jnp.maximum(op, 1e-20)
-
-    d_col = jnp.concatenate(
-        [_rsum(w * grgb[ch:ch + 1, :]) for ch in range(3)], axis=1)
-
-    zero = jnp.zeros_like(d_mx)
-    dparams_ref[...] = jnp.concatenate(
-        [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col, zero, zero, zero, zero,
-         zero, zero, zero], axis=1)
-
-    carry_ref[0:1, :] = t_carry * incl[-1:, :]
-    carry_ref[1:2, :] = p_incl[-1:, :]
-
-
-def _grid_spec(num_chunks, chunk, num_tiles, p, with_labels, *, backward):
-    del num_tiles, with_labels
-    params_spec = pl.BlockSpec(
-        (chunk, PARAM_ROWS), lambda k, ct, cf, cl: (k, 0),
-        memory_space=pltpu.VMEM)
-    if not backward:
-        return pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(num_chunks,),
-            in_specs=[params_spec],
-            out_specs=pl.BlockSpec(
-                (1, 8, p), lambda k, ct, cf, cl: (ct[k], 0, 0),
-                memory_space=pltpu.VMEM),
-        )
-    return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(num_chunks,),
-        in_specs=[
-            params_spec,
-            pl.BlockSpec((1, 3, p), lambda k, ct, cf, cl: (ct[k], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda k, ct, cf, cl: (ct[k], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (chunk, PARAM_ROWS), lambda k, ct, cf, cl: (k, 0),
-            memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, p), jnp.float32)],
-    )
-
-
-def _blend_fwd_call(params, chunk_tile, chunk_first, chunk_live, *, tile_size,
-                    tiles_x, num_tiles, alpha_min, alpha_max, with_labels,
-                    interpret, early_eps):
-    b_pad = params.shape[0]
-    chunk = b_pad // chunk_tile.shape[0]
-    p = tile_size * tile_size
-    kernel = functools.partial(
-        _fwd_kernel, tile_size=tile_size, tiles_x=tiles_x,
-        alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels,
-        early_eps=early_eps)
-    flops_est = 2 * b_pad * p * (8 + 3) + 40 * b_pad * p
-    return pl.pallas_call(
-        kernel,
-        grid_spec=_grid_spec(chunk_tile.shape[0], chunk, num_tiles, p,
-                             with_labels, backward=False),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, p), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=flops_est, bytes_accessed=b_pad * 64 + num_tiles * 32 * p,
-            transcendentals=b_pad * p),
-        interpret=interpret,
-    )(chunk_tile, chunk_first, chunk_live, params)
-
-
-def _blend_bwd_call(params, chunk_tile, chunk_first, chunk_live, grgb, d, *,
-                    tile_size, tiles_x, num_tiles, alpha_min, alpha_max,
-                    interpret, early_eps):
-    b_pad = params.shape[0]
-    chunk = b_pad // chunk_tile.shape[0]
-    p = tile_size * tile_size
-    kernel = functools.partial(
-        _bwd_kernel, tile_size=tile_size, tiles_x=tiles_x,
-        alpha_min=alpha_min, alpha_max=alpha_max, early_eps=early_eps)
-    flops_est = 2 * b_pad * p * (8 + 8 + 3) + 60 * b_pad * p
-    return pl.pallas_call(
-        kernel,
-        grid_spec=_grid_spec(chunk_tile.shape[0], chunk, num_tiles, p,
-                             False, backward=True),
-        out_shape=jax.ShapeDtypeStruct((b_pad, PARAM_ROWS), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=flops_est,
-            bytes_accessed=b_pad * 128 + num_tiles * 32 * p,
-            transcendentals=b_pad * p),
-        interpret=interpret,
-    )(chunk_tile, chunk_first, chunk_live, params, grgb, d)
-
-
-@functools.partial(
-    jax.custom_vjp,
-    nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
-def blend_chunks(
-    params: jax.Array,       # [B_pad, 16] packed per-instance parameters
-    chunk_tile: jax.Array,   # [K] i32
-    chunk_first: jax.Array,  # [K] i32
-    chunk_live: jax.Array,   # [K] i32
-    tile_size: int,
-    tiles_x: int,
-    num_tiles: int,
-    alpha_min: float,
-    alpha_max: float,
-    with_labels: bool,
-    interpret: bool,
-    early_eps: float = 0.0,
-) -> jax.Array:
-    """Differentiable tile compositing. Returns [num_tiles, 8, P]."""
-    return _blend_fwd_call(
-        params, chunk_tile, chunk_first, chunk_live, tile_size=tile_size,
-        tiles_x=tiles_x, num_tiles=num_tiles, alpha_min=alpha_min,
-        alpha_max=alpha_max, with_labels=with_labels, interpret=interpret,
-        early_eps=early_eps)
-
-
-def _blend_fwd_rule(params, chunk_tile, chunk_first, chunk_live, tile_size,
-                    tiles_x, num_tiles, alpha_min, alpha_max, with_labels,
-                    interpret, early_eps):
-    out = _blend_fwd_call(
-        params, chunk_tile, chunk_first, chunk_live, tile_size=tile_size,
-        tiles_x=tiles_x, num_tiles=num_tiles, alpha_min=alpha_min,
-        alpha_max=alpha_max, with_labels=with_labels, interpret=interpret,
-        early_eps=early_eps)
-    return out, (params, chunk_tile, chunk_first, chunk_live, out)
-
-
-def _blend_bwd_rule(tile_size, tiles_x, num_tiles, alpha_min, alpha_max,
-                    with_labels, interpret, early_eps, res, g):
-    params, chunk_tile, chunk_first, chunk_live, out = res
-    grgb = g[:, 0:3, :]                                   # [T, 3, P]
-    gt = g[:, 3:4, :]                                     # [T, 1, P]
-    # Per-pixel total D = C . dC + T_final . dT (suffix-sum seed).
-    d = (jnp.sum(out[:, 0:3, :] * grgb, axis=1, keepdims=True)
-         + out[:, 3:4, :] * gt)                           # [T, 1, P]
-    dparams = _blend_bwd_call(
-        params, chunk_tile, chunk_first, chunk_live, grgb, d,
-        tile_size=tile_size, tiles_x=tiles_x, num_tiles=num_tiles,
-        alpha_min=alpha_min, alpha_max=alpha_max, interpret=interpret,
-        early_eps=early_eps)
-    zt = np.zeros(chunk_tile.shape, jax.dtypes.float0)
-    zf = np.zeros(chunk_first.shape, jax.dtypes.float0)
-    zl = np.zeros(chunk_live.shape, jax.dtypes.float0)
-    return dparams, zt, zf, zl
-
-
-blend_chunks.defvjp(_blend_fwd_rule, _blend_bwd_rule)
 
 
 # ---------------------------------------------------------------------------

@@ -1,29 +1,25 @@
-"""Tile binning: map depth-sorted gaussians to chunk-aligned per-tile lists.
+"""Tile binning: depth-ordered per-tile instance windows, static shapes.
 
 TPU-native replacement for the reference's global counting depth sort
 (gaussians_selection.js:417-462): instead of one global order consumed by a
 GPU instanced draw, we build — with static shapes throughout, so the whole
-pass jits — a flat *instance* list (gaussian x overlapped-tile pairs),
-sorted by tile via a stable ``lax.sort`` (instances are emitted in depth
-order, so equal-tile runs stay depth-ordered), then scatter it into
-chunk-aligned per-tile ranges. The Pallas blend kernel walks the flat chunk
-list; chunk k belongs to tile ``chunk_tile[k]``, the first chunk of each
-tile resets the per-pixel transmittance carry, and ``chunk_live[k]`` lets the
-kernel skip all-padding chunks.
+pass jits — a flat *instance* stream (gaussian x overlapped-tile pairs) in
+(tile, depth) order via one packed-key ``lax.sort``, and the Pallas blend
+kernel walks fixed-size WINDOWS of that dense stream (see WindowBinning).
 
 Instance enumeration is *tight*: candidate tiles come from the bbox of the
 per-axis cutoff-ellipse extents, then each (gaussian, tile) pair is kept only
 if the exact minimum of the Mahalanobis quadratic over the tile rectangle is
 <= the gaussian's opacity-aware cutoff ``qmax`` — pairs that cannot produce
 any alpha >= alpha_min are filtered before the sort, so they cost no blend
-compute (they sort to the end as sentinels and their chunks are dead).
+compute (they sort to the end as sentinels past every window).
 
 Static-budget strategy: ``budget`` bounds the bbox enumeration (on overflow
-the *deepest* instances are dropped — the instance list is built in
-depth-sorted order — and ``num_dropped`` reports how many);
-``kernel_budget <= budget`` sizes the chunk-aligned array the blend kernel
-walks, and can be bucketed to the (smaller) tight count. Every tile owns at
-least one (possibly all-padding) chunk so every output block is written.
+the *deepest* instances are dropped and ``num_dropped`` reports how many);
+``kernel_budget <= budget`` caps the live instances windows may cover
+(per-tile proportional shedding of the deepest); ``num_windows`` sizes the
+Pallas grid (measure with ``count_windows`` + bucket). Every tile owns at
+least one (possibly zero-length) window so every output block is written.
 """
 
 from __future__ import annotations
@@ -106,7 +102,11 @@ def bin_windows(
     ts = float(tile_size)
 
     # --- depth rank per gaussian (original order): one argsort + one
-    # inverse-permutation scatter; no field gathers.
+    # inverse-permutation scatter; no field gathers. NOTE the f32-key stable
+    # argsort costs ~18s of XLA compile at 100k (scripts/profile_compile_
+    # sort.py) but is the fastest RUNTIME formulation by far: the bits-based
+    # 2-key variant (_depth_order) compiles no faster in context and runs
+    # ~8ms slower end-to-end (measured on v5e, 100k gaussians).
     depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(
@@ -278,24 +278,6 @@ def bin_windows(
                          num_instances=tight, num_dropped=num_dropped)
 
 
-class Binning(NamedTuple):
-    order: jax.Array        # [N] i32: depth-sorted gaussian indices
-    inst_gauss: jax.Array   # [B_pad] i32: depth-rank per instance, -1 = padding
-    chunk_tile: jax.Array   # [K] i32: owning tile of each chunk (monotone)
-    chunk_first: jax.Array  # [K] i32: 1 where chunk is its tile's first
-    chunk_live: jax.Array   # [K] i32: 1 where chunk has >= 1 real instance
-    inst_dst: jax.Array     # [B] i32: kernel slot per ENUMERATION index
-    #                         (gaussian-major, depth order), b_pad = dropped
-    enum_start: jax.Array   # [N] i32: first enumeration index per sorted
-    #                         gaussian (exclusive prefix of bbox counts)
-    enum_cnt: jax.Array     # [N] i32: bbox instance count per sorted gaussian
-    num_instances: jax.Array  # scalar i32 (tight count, pre-drop)
-    num_dropped: jax.Array    # scalar i32
-
-    @property
-    def num_chunks(self) -> int:
-        return self.chunk_tile.shape[0]
-
 
 def instance_budget(n: int, chunk: int, budget_factor: float) -> int:
     b = int(budget_factor * n)
@@ -410,12 +392,11 @@ def count_instances_tight(proj: Projected, *, tiles_x: int, tiles_y: int,
     used to right-size ``kernel_budget``. ``budget`` must be >= the bbox
     count (from ``count_instances``)."""
     n = proj.depth.shape[0]
-    order = jnp.argsort(
-        jnp.where(proj.valid, proj.depth, jnp.inf), stable=True
-    ).astype(jnp.int32)
+    # the count is order-independent: no depth sort (an f32-key argsort
+    # costs ~18s of XLA compile that a budget probe should not pay)
     tight = _expand_instances(
-        proj.means2d[order, 0], proj.means2d[order, 1], proj.extent[order],
-        proj.conic[order], proj.qmax[order], proj.valid[order],
+        proj.means2d[:, 0], proj.means2d[:, 1], proj.extent,
+        proj.conic, proj.qmax, proj.valid,
         tiles_x=tiles_x, tiles_y=tiles_y, tile_size=tile_size, budget=budget,
         n=n)[3]
     return tight
@@ -481,125 +462,3 @@ def bucket_budget(count: int, chunk: int, *, slack: float = 1.08,
     need = max(int(count * slack), chunk)
     k = math.ceil(math.log(need / chunk, step))
     return -(-int(chunk * step ** max(k, 0)) // chunk) * chunk
-
-
-@functools.partial(
-    jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_size", "chunk",
-                              "budget", "kernel_budget"))
-def bin_gaussians(
-    proj: Projected,
-    *,
-    tiles_x: int,
-    tiles_y: int,
-    tile_size: int,
-    chunk: int,
-    budget: int,
-    kernel_budget: Optional[int] = None,
-) -> Binning:
-    n = proj.depth.shape[0]
-    num_tiles = tiles_x * tiles_y
-    if kernel_budget is None:
-        kernel_budget = budget
-    b_pad = kernel_budget + num_tiles * chunk
-
-    # --- depth sort (ascending; invalid to the end; stable => index tiebreak)
-    depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
-    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
-
-    tile, g, total, tight, enum_start, enum_cnt = _expand_instances(
-        proj.means2d[order, 0], proj.means2d[order, 1], proj.extent[order],
-        proj.conic[order], proj.qmax[order], proj.valid[order],
-        tiles_x=tiles_x, tiles_y=tiles_y, tile_size=tile_size, budget=budget,
-        n=n)
-    # Instances dropped: bbox overflow past the enumeration budget, plus
-    # tight instances that don't fit the kernel budget (deepest-first both).
-    num_dropped = (jnp.maximum(total - budget, 0)
-                   + jnp.maximum(tight - kernel_budget, 0))
-
-    # --- per-tile lists in depth order: instances are emitted in depth-rank
-    # order, and lax.sort is stable, so sorting by tile alone (g as payload)
-    # keeps equal-tile runs depth-ordered — half the comparator work of a
-    # two-key lexicographic sort. Filtered/padding instances carry the
-    # sentinel tile and sort to the end.
-    je = jnp.arange(budget, dtype=jnp.int32)  # enumeration index payload
-    inst_tile, inst_g, inst_je = jax.lax.sort(
-        (tile, g, je), num_keys=1, is_stable=True)
-
-    # --- per-tile ranges from the SORTED tile array: searchsorted with only
-    # num_tiles+1 queries (scatter-based bincount costs ~9ms at 1M instances)
-    tile_start = jnp.searchsorted(
-        inst_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    n_t = jnp.diff(tile_start)
-    tile_start = tile_start[:num_tiles]
-    # Cap per-tile counts so Sum(ceil(n_t/chunk)*chunk) <= b_pad always holds
-    # (kernel-budget overflow sheds whole trailing tiles' excess; only binds
-    # when tight > kernel_budget, i.e. the budget heuristic undershot).
-    csum = jnp.cumsum(n_t)
-    n_t = jnp.clip(kernel_budget - (csum - n_t), 0, n_t)
-
-    # --- chunk-aligned per-tile ranges (>= 1 chunk per tile, even if empty)
-    pad_cnt = jnp.maximum(-(-n_t // chunk) * chunk, chunk)
-    pad_off = jnp.cumsum(pad_cnt) - pad_cnt
-
-    # --- chunk -> tile maps for the kernel's scalar prefetch (marker-cumsum;
-    # pad_cnt >= chunk makes tile starts distinct chunks)
-    num_chunks = b_pad // chunk
-    cmarks = jnp.zeros((num_chunks,), jnp.int32).at[pad_off // chunk].add(
-        1, mode="drop")
-    chunk_tile = jnp.clip(jnp.cumsum(cmarks) - 1, 0, num_tiles - 1)
-    chunk_first = (cmarks > 0).astype(jnp.int32)
-    # chunk k is live iff its slot range intersects its tile's real instances
-    k_idx = jnp.arange(num_chunks, dtype=jnp.int32)
-    local_off = k_idx * chunk - pad_off[chunk_tile]
-    chunk_live = ((local_off >= 0) & (local_off < n_t[chunk_tile])
-                  ).astype(jnp.int32)
-
-    # --- scatter instances into padded chunk-aligned slots. The destination
-    # is dst = pad_off[t] + (j - tile_start[t]) = j + delta[t] with
-    # delta[t] = pad_off[t] - tile_start[t] constant per tile run of the
-    # SORTED stream — so instead of a B-row table gather (~2ms at 250k on
-    # v5e) we scatter num_tiles values at the run starts and spread them
-    # down the runs with one cummax (delta rides a +K*t ramp to stay
-    # monotone; K bounds |delta| <= b_pad and the ramp fits i32).
-    j = jnp.arange(budget, dtype=jnp.int32)
-    is_real = inst_tile < num_tiles
-    span = budget + b_pad + 1
-    ramp_k = 1 << max(span - 1, 1).bit_length()
-
-    if ramp_k * (num_tiles + 2) < 2 ** 31:
-
-        def spread(vals):
-            """Scatter per-tile vals at run starts, spread down the sorted
-            stream with one cummax (a +ramp_k*t staircase keeps the running
-            max pinned to the current run's seed)."""
-            enc = vals + ramp_k * jnp.arange(1, num_tiles + 1,
-                                             dtype=jnp.int32)
-            seed = jnp.full((budget,), jnp.int32(-2 ** 31), jnp.int32)
-            seed = seed.at[tile_start].max(enc, mode="drop")
-            return jax.lax.cummax(seed) - ramp_k * (inst_tile + 1)
-
-        delta = spread(pad_off - tile_start)
-        cap = spread(pad_off + n_t)   # dst < cap <=> rank_in_tile < n_t[t]
-    else:
-        # huge-image fallback: the staircase would overflow i32 — pay the
-        # B-row table gather instead
-        t_c = jnp.minimum(inst_tile, num_tiles - 1)
-        ttab = jnp.stack([pad_off - tile_start, pad_off + n_t], axis=1)
-        trow = ttab[t_c]
-        delta, cap = trow[:, 0], trow[:, 1]
-    dst = j + delta
-    dst = jnp.where(is_real & (dst < cap), dst, b_pad)
-    inst_gauss = jnp.full((b_pad,), -1, dtype=jnp.int32)
-    inst_gauss = inst_gauss.at[dst].set(inst_g, mode="drop")
-    # enumeration-order slot map: the instance->gaussian gradient reduction
-    # (pack's custom VJP) segment-sums consecutive enumeration runs, which
-    # costs ~2ms where the naive scatter-add transpose costs ~5ms at 300k.
-    inst_dst = jnp.full((budget,), b_pad, dtype=jnp.int32)
-    inst_dst = inst_dst.at[inst_je].set(dst, mode="drop")
-
-    return Binning(order=order, inst_gauss=inst_gauss, chunk_tile=chunk_tile,
-                   chunk_first=chunk_first, chunk_live=chunk_live,
-                   inst_dst=inst_dst, enum_start=enum_start,
-                   enum_cnt=enum_cnt,
-                   num_instances=tight, num_dropped=num_dropped)
