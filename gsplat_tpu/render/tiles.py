@@ -36,13 +36,14 @@ from gsplat_tpu.render.projection import Projected
 class WindowBinning(NamedTuple):
     """Depth-ordered per-tile instance *windows* over a dense sorted stream.
 
-    Round-2 redesign of :class:`Binning`: instead of scattering instances
-    into a chunk-aligned slot array (two B-sized scatters + a B_pad-row
-    gather), the instance stream stays DENSE in (tile, depth-rank) sorted
-    order and the blend kernel walks fixed-size windows of it, DMA-ing each
-    window's rows from HBM at a dynamic offset. Construction is one packed
-    single-key ``lax.sort`` plus O(T)-sized table work — no per-instance
-    scatters at all.
+    Round-2 redesign of the r1 chunk-slot binning: instead of scattering
+    instances into a chunk-aligned slot array (two B-sized scatters + a
+    B_pad-row gather), the instance stream stays DENSE in (tile, depth-rank)
+    sorted order and the blend kernel walks fixed-size windows of it,
+    DMA-ing each window's rows from HBM at a dynamic offset. Construction
+    is one packed-key ``lax.sort`` (enumeration index as payload, for the
+    backward pass's grad-row map) plus O(T)-sized table work and three
+    stream cummax spreads — no per-instance scatters.
     """
 
     order: jax.Array      # [N] i32: depth-sorted gaussian indices

@@ -86,7 +86,7 @@ def bwd(c, prm, wt, wf, ws, wl):
         prm + c * 1e-30, wt, wf, ws, wl, grgb, d, chunk=CHUNK, tile_size=ts,
         tiles_x=tx, num_tiles=num_tiles, alpha_min=cfg.raster.alpha_min,
         alpha_max=cfg.raster.alpha_max, interpret=interpret,
-        early_eps=cfg.raster.early_stop_eps, n_rank=N)
+        early_eps=cfg.raster.early_stop_eps)
     return out[0, 0] * 1e-30
 
 

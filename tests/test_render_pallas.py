@@ -113,3 +113,47 @@ def test_nondivisible_image_size(scene):
     err = np.abs(np.asarray(out_p["image"]) - np.asarray(out_d["image"]))
     assert err.max() < 1e-4
     assert out_p["image"].shape == (45, 70, 3)
+
+
+def test_window_shedding_under_small_grid(scene, camera):
+    """num_windows below the real window count triggers proportional
+    window-shedding: drops are reported and the render stays sane."""
+    from gsplat_tpu.render.api import _render_impl, measure_budgets
+    from gsplat_tpu.render.projection import CameraParams
+
+    # chunk=8 so busy tiles need many windows and a tiny grid must shed
+    cfg = Config(raster=RasterConfig(tile_size=16), tiles=TileConfig(chunk=8))
+    budget, kernel_budget, num_windows = measure_budgets(scene, camera, cfg)
+    tx = -(-camera.width // cfg.raster.tile_size)
+    ty = -(-camera.height // cfg.raster.tile_size)
+    small = tx * ty + 1
+    assert small < num_windows, (small, num_windows)
+    out = _render_impl(
+        scene, CameraParams.from_camera(camera),
+        jnp.zeros(3, jnp.float32), width=camera.width, height=camera.height,
+        cfg=cfg, with_labels=False, impl="pallas", interpret=True,
+        budget=budget, kernel_budget=kernel_budget, num_windows=small)
+    full = _render_impl(
+        scene, CameraParams.from_camera(camera),
+        jnp.zeros(3, jnp.float32), width=camera.width, height=camera.height,
+        cfg=cfg, with_labels=False, impl="pallas", interpret=True,
+        budget=budget, kernel_budget=kernel_budget,
+        num_windows=num_windows)
+    assert int(out["num_dropped"]) > 0
+    assert int(full["num_dropped"]) == 0
+    img_s, img_f = np.asarray(out["image"]), np.asarray(full["image"])
+    assert np.isfinite(img_s).all()
+    # shedding drops the DEEPEST instances: the image only loses far
+    # content, it never gains energy where the full render has none
+    assert (img_s[img_f.sum(-1) < 1e-6].sum()) < 1e-3
+
+
+def test_measured_budgets_render_exact(scene, camera):
+    """measure_budgets' bucketed (budget, kernel_budget, num_windows) must
+    reproduce the unconstrained render exactly (no silent shedding)."""
+    from gsplat_tpu.render.api import measure_budgets
+
+    b, kb, nw = measure_budgets(scene, camera, CFG)
+    out = render(scene, camera, CFG)          # probes internally
+    assert int(out["num_dropped"]) == 0
+    assert nw >= 1 and kb <= b
