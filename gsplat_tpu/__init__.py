@@ -22,7 +22,18 @@ if _os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
+# Persistent XLA compilation cache: the binning sort alone costs ~18s of
+# compile and the full train step ~60s; cache them once per machine. Done at
+# import so every entry point (bench, CLIs, viewer, tests, user scripts)
+# benefits; opt out with GSPLAT_COMPILE_CACHE=0.
+from gsplat_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+try:
+    _enable_compile_cache()
+except Exception:  # read-only filesystems etc. — caching is best-effort
+    pass
+
 from gsplat_tpu.config import Config, DEFAULT, NO_SELECTION, SH_C0, UNLABELED
 from gsplat_tpu.scene import GaussianScene
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -61,7 +61,9 @@ def main(argv=None) -> int:
     from gsplat_tpu.render.tiles import instance_budget
     from gsplat_tpu.utils import checkpoint as ckpt
 
-    mesh = mesh_from_args(args) if args.mesh else None
+    # mesh_from_args handles --coordinator/--num_processes/--process_id even
+    # without --mesh (it returns None only for true single-device runs).
+    mesh = mesh_from_args(args)
     if mesh is not None:
         print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
               f"({jax.process_count()} processes)")

@@ -15,19 +15,27 @@ from typing import Optional
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-# installed wheels carry the .so inside the package (setup.py build hook);
-# source checkouts build it under native/ via make
+_NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+# Source checkouts build the .so under native/ via make (never committed to
+# git — a binary built elsewhere is unreviewable and may SIGILL, ADVICE r2);
+# installed wheels carry it inside the package (setup.py build hook).
 _PKG_LIB = os.path.join(os.path.dirname(__file__), "libgsplat_native.so")
-_SRC_LIB = os.path.abspath(os.path.join(_NATIVE_DIR, "libgsplat_native.so"))
-_LIB_PATH = _PKG_LIB if os.path.exists(_PKG_LIB) else _SRC_LIB
+_SRC_LIB = os.path.join(_NATIVE_DIR, "libgsplat_native.so")
+_IS_SRC_CHECKOUT = os.path.exists(os.path.join(_NATIVE_DIR,
+                                               "gsplat_native.cpp"))
+_LIB_PATH = _SRC_LIB if _IS_SRC_CHECKOUT else _PKG_LIB
 _lib: Optional[ctypes.CDLL] = None
 
 
 def build(force: bool = False) -> str:
-    """Compile the native library (idempotent). Returns the .so path."""
-    if force or not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+    """Compile the native library (idempotent; ``make`` rebuilds when the
+    source is newer than the .so). Returns the .so path."""
+    if _IS_SRC_CHECKOUT and (force or not os.path.exists(_LIB_PATH)
+                             or os.path.getmtime(os.path.join(
+                                 _NATIVE_DIR, "gsplat_native.cpp"))
+                             > os.path.getmtime(_LIB_PATH)):
+        subprocess.run(["make", "-C", _NATIVE_DIR],
                        check=True, capture_output=True)
     return _LIB_PATH
 
@@ -37,8 +45,7 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH):
-            build()
+        build()
         lib = ctypes.CDLL(_LIB_PATH)
     except (OSError, subprocess.CalledProcessError):
         return None

@@ -42,11 +42,16 @@ PlyElements = Dict[str, np.ndarray]  # element name -> structured array
 
 
 def _parse_header(data: bytes) -> Tuple[str, List[Tuple[str, int, List[Tuple[str, str]]]], int]:
-    end = data.find(b"end_header\n")
+    # tolerate CRLF line endings in the header (ADVICE r2)
+    end = data.find(b"end_header")
     if not data.startswith(b"ply") or end < 0:
         raise ValueError("Unable to parse PLY header")  # cf. js:470-473
     header = data[:end].decode("ascii", errors="replace")
-    body_off = end + len(b"end_header\n")
+    body_off = end + len(b"end_header")
+    if data[body_off:body_off + 2] == b"\r\n":
+        body_off += 2
+    elif data[body_off:body_off + 1] == b"\n":
+        body_off += 1
     fmt = None
     elements: List[Tuple[str, int, List[Tuple[str, str]]]] = []
     for line in header.splitlines():
@@ -249,7 +254,9 @@ def load_scene(path: str) -> GaussianScene:
     anything else is treated as a packed 32-byte .splat buffer."""
     with open(path, "rb") as f:
         magic = f.read(4)
-    if magic == b"ply\n":
+    # match on b"ply" alone so CRLF-header PLYs are not misrouted to the
+    # packed .splat parser (ADVICE r2)
+    if magic[:3] == b"ply":
         return scene_from_ply(path)
     from gsplat_tpu.io.splat_format import read_splat
     return read_splat(path)
@@ -259,7 +266,7 @@ def load_scene_bytes(data: bytes) -> GaussianScene:
     """In-memory variant of :func:`load_scene` (the live viewer's drag-drop
     ingestion, gaussians_selection.js:1660-1673): PLY magic -> PLY codec,
     anything else -> packed .splat rows."""
-    if data[:4] == b"ply\n":
+    if data[:3] == b"ply":
         return scene_from_ply(data)
     from gsplat_tpu.io.splat_format import read_splat
     return read_splat(data)

@@ -253,7 +253,7 @@ def visibility_masks(
     import jax
 
     from gsplat_tpu.config import DEFAULT
-    from gsplat_tpu.render.api import _render_vis_impl, measure_budgets
+    from gsplat_tpu.render.api import _render_vis_impl, measure_budgets_multi
     from gsplat_tpu.render.projection import CameraParams
 
     cfg = cfg or DEFAULT
@@ -263,14 +263,11 @@ def visibility_masks(
     if any(c.width != w or c.height != h for c in cameras):
         raise ValueError("visibility_masks needs a uniform camera "
                          "resolution; use Camera.resized first")
-    # one budget probe over a spread of views; max + margin, bucketed, so
-    # every view shares one compiled render
-    sample = cameras[:: max(len(cameras) // 8, 1)][:8]
-    budget = kernel_budget = num_windows = 0
-    for c in sample:
-        b, kb, nw = measure_budgets(scene, c, cfg)
-        budget, kernel_budget, num_windows = (
-            max(budget, b), max(kernel_budget, kb), max(num_windows, nw))
+    # exact budget probe over ALL views (cheap jitted counts; ADVICE r2:
+    # sampling could undersize the budget and silently shed instances on an
+    # unsampled view, skewing the visibility evidence)
+    budget, kernel_budget, num_windows = measure_budgets_multi(
+        scene, cameras, cfg)
     cams = CameraParams(
         rot=jnp.asarray(np.stack([c.rotation for c in cameras]),
                         jnp.float32),

@@ -38,7 +38,10 @@ def initialize_distributed(
     case, and every test) never need to call this.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    # NOTE: do NOT call jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize() always raises
+    # (ADVICE r2, high). jax.distributed.is_initialized() is backend-safe.
+    if _initialized or jax.distributed.is_initialized():
         _initialized = True
         return
     kwargs = {}
@@ -75,8 +78,9 @@ def add_mesh_args(ap: argparse.ArgumentParser) -> None:
 
 
 def mesh_from_args(args: argparse.Namespace) -> Optional[Mesh]:
-    """Build the mesh requested by ``add_mesh_args`` flags; None if the run
-    is single-device (no --mesh and one device)."""
+    """Build the mesh requested by ``add_mesh_args`` flags; None unless
+    --mesh or any multi-process flag was given (sharding is opt-in: a
+    multi-device host without --mesh still runs the single-device path)."""
     multi = (args.coordinator is not None or args.num_processes is not None
              or args.process_id is not None)
     if multi:
@@ -84,6 +88,6 @@ def mesh_from_args(args: argparse.Namespace) -> Optional[Mesh]:
                                args.process_id)
     if args.mesh is not None:
         return make_mesh(parse_mesh_shape(args.mesh))
-    if multi or len(jax.devices()) > 1:
+    if multi:
         return make_mesh()
     return None

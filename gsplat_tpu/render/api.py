@@ -364,3 +364,33 @@ def measure_budgets(scene: GaussianScene, camera: Camera,
                                              tx * ty)),
                       tx * ty + 1)
     return budget, kernel_budget, num_windows
+
+
+def measure_budgets_multi(scene: GaussianScene, cameras,
+                          cfg: Config = DEFAULT):
+    """Budgets valid for EVERY camera in ``cameras`` (shared resolution):
+    max of the exact per-view counts, bucketed once. The per-view probes are
+    cheap jitted programs compiled once each (ADVICE r2: sampling <=8 views
+    can undersize the budget and silently shed instances on unsampled
+    views)."""
+    cam0 = cameras[0]
+    tx, ty = tile_grid(cam0.width, cam0.height, cfg.raster.tile_size)
+    ts = cfg.raster.tile_size
+    projs = [project(scene, CameraParams.from_camera(c), cam0.width,
+                     cam0.height, cfg.raster, z_near=cfg.camera.z_near,
+                     z_far=cfg.camera.z_far) for c in cameras]
+    cnt = max(int(count_instances(p, tiles_x=tx, tiles_y=ty, tile_size=ts))
+              for p in projs)
+    budget = bucket_budget(cnt, cfg.tiles.chunk)
+    tight = max(int(count_instances_tight(
+        p, tiles_x=tx, tiles_y=ty, tile_size=ts, budget=budget))
+        for p in projs)
+    kernel_budget = bucket_budget(tight, cfg.tiles.chunk)
+    nw = max(int(count_windows(
+        p, tiles_x=tx, tiles_y=ty, tile_size=ts, chunk=cfg.tiles.chunk,
+        budget=budget, kernel_budget=kernel_budget)) for p in projs)
+    num_windows = max(min(bucket_budget(nw, 8, slack=1.04, step=1.1),
+                          num_windows_static(kernel_budget, cfg.tiles.chunk,
+                                             tx * ty)),
+                      tx * ty + 1)
+    return budget, kernel_budget, num_windows
