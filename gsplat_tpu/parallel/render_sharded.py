@@ -112,9 +112,10 @@ def render_sharded(
             num_windows=num_windows_per_device)
         ptab = pack_table(projf, labelsf)
         out_tiles = blend_scene_windows(
-            ptab, binning.order, binning.ranks, binning.win_tile,
-            binning.win_first, binning.win_start, binning.win_len,
-            binning.enum_kernel_row, binning.enum_start, binning.enum_cnt,
+            ptab, binning.inst_gauss, binning.win_tile,
+            binning.win_first, binning.win_start, binning.win_off,
+            binning.win_len, binning.enum_kernel_row, binning.enum_start,
+            binning.enum_cnt,
             cfg.tiles.chunk, ts, tiles_x, tiles_x * band_ty,
             rc.alpha_min, rc.alpha_max, with_labels, interpret,
             rc.early_stop_eps)

