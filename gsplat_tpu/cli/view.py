@@ -32,6 +32,8 @@ def main(argv=None) -> int:
     cameras = load_cameras(args.camera_file) if args.camera_file else None
     server = ViewerServer(scene, width=args.width, height=args.height,
                           session_path=args.session, cameras=cameras)
+    print("prewarming frame program (compiles once; cached on disk) ...")
+    server.prewarm()
     server.serve(args.host, args.port)
     return 0
 

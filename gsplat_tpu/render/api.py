@@ -294,16 +294,21 @@ def render(
     impl: str = "pallas",
     interpret: Optional[bool] = None,
     budget: Optional[int] = None,
+    kernel_budget: Optional[int] = None,
+    num_windows: Optional[int] = None,
 ) -> Dict[str, jax.Array]:
     """Render a scene from a camera. impl: 'pallas' (tiled TPU kernels) or
-    'dense' (O(H*W*N) jnp fallback for small scenes / debugging)."""
+    'dense' (O(H*W*N) jnp fallback for small scenes / debugging).
+
+    Pass pinned (budget, kernel_budget, num_windows) — e.g. from
+    :func:`measure_budgets` / :func:`measure_budgets_multi` — to reuse one
+    compiled program across calls; with ``budget=None`` they are measured
+    per call (three cheap jitted probes + host syncs)."""
     if interpret is None:
         # 'axon' is the remote-TPU PJRT plugin used by this environment.
         interpret = jax.default_backend() not in ("tpu", "axon")
     if background is None:
         background = jnp.asarray(cfg.raster.background, jnp.float32)
-    kernel_budget = None
-    num_windows = None
     if budget is None:
         # measure the exact instance counts (cheap jitted passes), then
         # bucket them so repeated renders share compiled programs
