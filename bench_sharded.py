@@ -33,7 +33,9 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU unconditionally: the axon remote-TPU plugin presets
+# JAX_PLATFORMS, so setdefault would silently land this on the real chip
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 

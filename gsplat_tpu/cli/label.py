@@ -4,7 +4,7 @@ Usage (reference py:336-344, README.md:59-67):
     python -m gsplat_tpu.cli.label --ply_file scene.ply \
         --camera_file cameras.json --input_dir images/ \
         --output_dir out/ --output_file labeled.ply \
-        --model {segformer,mask2former,yolo,npy}
+        --model {segformer,mask2former,yolo,sam,npy}
 
 The 'npy' model replays precomputed ``{img_name}_seg.npy`` maps from
 --output_dir, keeping the TPU vote free of torch.
@@ -28,7 +28,7 @@ def main(argv=None) -> int:
     ap.add_argument("--output_dir", required=True)
     ap.add_argument("--output_file", required=True)
     ap.add_argument("--model", default="segformer",
-                    choices=["segformer", "mask2former", "yolo", "npy"])
+                    choices=["segformer", "mask2former", "yolo", "sam", "npy"])
     ap.add_argument("--num_classes", type=int, default=151)
     ap.add_argument("--seg_resolution", type=int, default=None,
                     help="downscale seg maps to this max dimension before "

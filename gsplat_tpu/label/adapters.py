@@ -121,10 +121,67 @@ class YoloAdapter:
         return seg
 
 
+def masks_to_instance_map(masks, h: int, w: int) -> np.ndarray:
+    """Paint binary masks into an instance map: masks sorted by area
+    DESCENDING, each painted with its rank, so smaller (detail) masks
+    overwrite larger ones; background = -1. This is the reference
+    notebook's mask -> segmentation-map step
+    (Image_Segmentation/evaluation.py::generate_segmentation_map semantics
+    with deterministic ordering)."""
+    seg = np.full((h, w), -1, np.int32)
+    order = sorted(range(len(masks)),
+                   key=lambda i: int(np.asarray(masks[i]).sum()),
+                   reverse=True)
+    for rank, i in enumerate(order):
+        m = _nearest_resize(np.asarray(masks[i]).astype(np.int32), h, w)
+        seg[m > 0] = rank
+    return seg
+
+
+class SamAdapter:
+    """Segment Anything automatic mask generation (reference:
+    Image_Segmentation/Segment_anything.ipynb cells 1-7 — vit_b
+    ``SamAutomaticMaskGenerator`` + IoU vs labelme ground truth; here via
+    transformers' ``mask-generation`` pipeline on facebook/sam-vit-base).
+
+    Returns an INSTANCE map via :func:`masks_to_instance_map`;
+    ``last_masks`` keeps the raw binary masks (area-descending) for IoU
+    evaluation against labelme GT
+    (gsplat_tpu.evaluation.iou.get_ious_from_masks)."""
+
+    MODEL = "facebook/sam-vit-base"
+
+    def __init__(self, model_name: Optional[str] = None, device: str = "cpu",
+                 points_per_batch: int = 32):
+        try:
+            from transformers import pipeline
+        except ImportError as e:
+            raise ImportError(
+                "SamAdapter requires the 'transformers' package") from e
+        self.pipe = pipeline("mask-generation",
+                             model=model_name or self.MODEL, device=device)
+        self.points_per_batch = points_per_batch
+        self.last_masks = None
+
+    def __call__(self, img_name: str, image: np.ndarray) -> np.ndarray:
+        from PIL import Image as PILImage
+
+        out = self.pipe(
+            PILImage.fromarray(np.asarray(image).astype(np.uint8)),
+            points_per_batch=self.points_per_batch)
+        masks = [np.asarray(m, bool) for m in out["masks"]]
+        h, w = image.shape[:2]
+        order = sorted(range(len(masks)),
+                       key=lambda i: int(masks[i].sum()), reverse=True)
+        self.last_masks = [masks[i] for i in order]
+        return masks_to_instance_map(masks, h, w)
+
+
 BACKENDS: Dict[str, type] = {
     "segformer": SegformerAdapter,
     "mask2former": Mask2FormerAdapter,
     "yolo": YoloAdapter,
+    "sam": SamAdapter,
     "npy": NpySource,
 }
 

@@ -52,3 +52,20 @@ def test_labelme_mask(tmp_path):
     mask = ev.labelme_mask(p, "Lego", 8, 8)
     assert mask[3, 3] == 1 and mask[7, 7] == 0
     assert mask.sum() == 36
+
+
+def test_masks_to_instance_map():
+    """SAM-workflow mask painting: area-descending, smaller masks overwrite,
+    background -1 (Segment_anything.ipynb semantics)."""
+    import numpy as np
+
+    from gsplat_tpu.label.adapters import masks_to_instance_map
+
+    big = np.zeros((8, 8), bool); big[0:6, 0:6] = True      # area 36
+    small = np.zeros((8, 8), bool); small[1:3, 1:3] = True  # area 4
+    seg = masks_to_instance_map([small, big], 8, 8)
+    assert seg[0, 0] == 0          # big mask painted first => rank 0
+    assert seg[1, 1] == 1          # small overwrites => rank 1
+    assert seg[7, 7] == -1         # background
+    assert "sam" in __import__(
+        "gsplat_tpu.label.adapters", fromlist=["BACKENDS"]).BACKENDS
