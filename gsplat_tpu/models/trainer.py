@@ -230,6 +230,8 @@ def make_adaptive_train_step(
     *,
     lr: float = 1e-2,
     budget: int,
+    mesh: Optional[Mesh] = None,
+    budget_per_device: Optional[int] = None,
     interpret: Optional[bool] = None,
     loss: str = "dssim_l1",
 ):
@@ -237,7 +239,15 @@ def make_adaptive_train_step(
     (gsplat_tpu/models/densify.py): (state, stats, labels, cam, target, bg)
     -> (state, stats, loss). Run ``densify_and_prune`` every K steps on the
     host schedule; the scene lives in fixed-capacity buffers so both
-    programs compile once."""
+    programs compile once.
+
+    With ``mesh``, the render runs the sharded pipeline (gaussians over
+    devices, tile bands per device). ``densify_and_prune`` itself is a pure
+    fixed-capacity program over [C] buffers — run it under plain jit on the
+    sharded buffers and GSPMD partitions its argsort/gather/scatter steps
+    (an occasional all-gather is fine at densify cadence); capacity must
+    divide the device count (pad_to_capacity's 128-multiple covers
+    power-of-two meshes)."""
     from gsplat_tpu.models.densify import DensifyStats
 
     width, height = camera_static
@@ -247,11 +257,20 @@ def make_adaptive_train_step(
     photometric = get_loss_fn(loss)
 
     def loss_fn(params: SceneParams, labels, cam: CameraParams, target, bg):
-        out = _render_impl(
-            params.to_scene(labels), cam, bg, width=width, height=height,
-            cfg=cfg, with_labels=False, impl="pallas", interpret=interpret,
-            budget=budget)
-        return photometric(out["image"], target)
+        scene = params.to_scene(labels)
+        if mesh is None:
+            out = _render_impl(
+                scene, cam, bg, width=width, height=height, cfg=cfg,
+                with_labels=False, impl="pallas", interpret=interpret,
+                budget=budget)
+            img = out["image"]
+        else:
+            img = render_sharded(
+                scene, cam, mesh, width=width, height=height, cfg=cfg,
+                budget_per_device=budget_per_device or budget,
+                background=bg, interpret=interpret)
+        h = min(img.shape[0], target.shape[0])
+        return photometric(img[:h], target[:h])
 
     @jax.jit
     def train_step(state: TrainState, stats: DensifyStats, labels,

@@ -321,10 +321,14 @@ def _bwd_win_kernel(win_tile, win_first, win_start, win_off, win_len,
         p_incl = carry_ref[1:2, :] + _cumsum_rows(contrib)
         s = d_ref[0, :, :] - p_incl
 
-        live_px = alpha > 0.0
-        unclamped = live_px & (aux["raw"] < alpha_max)
-        dalpha = jnp.where(live_px, t_excl * cg - s / (1.0 - alpha), 0.0)
-        dq = jnp.where(unclamped, -0.5 * alpha * dalpha, 0.0)
+        # dq = -0.5 alpha dalpha with dalpha = t_excl cg - s/(1-alpha);
+        # fold alpha through: alpha t_excl cg = contrib (already computed),
+        # alpha s/(1-alpha) = s ratio — one fewer elementwise pass, and the
+        # live_px select is subsumed by `unclamped` (alpha==0 => ratio==0,
+        # contrib==0)
+        unclamped = (alpha > 0.0) & (aux["raw"] < alpha_max)
+        ratio = alpha / (1.0 - alpha)
+        dq = jnp.where(unclamped, -0.5 * (contrib - s * ratio), 0.0)
 
         dx, dy = aux["dx"], aux["dy"]
         ca, cb, cc, op = aux["ca"], aux["cb"], aux["cc"], aux["op"]

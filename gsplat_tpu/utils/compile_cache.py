@@ -27,6 +27,11 @@ def enable(cache_dir: str | None = None) -> str:
     env = os.environ.get("GSPLAT_COMPILE_CACHE")
     if env == "0":
         return ""
+    if env is None and os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # CPU-only runs (tests, virtual meshes) compile fast and XLA:CPU AOT
+        # cache loads warn about tuning pseudo-features; cache TPU only
+        # unless explicitly requested via GSPLAT_COMPILE_CACHE=<dir>.
+        return ""
     path = cache_dir or env or os.path.join(
         os.path.expanduser("~"), ".cache", "gsplat_tpu", "xla")
     if _enabled:
