@@ -114,26 +114,32 @@ def main(argv=None) -> int:
     n_for_budget = scene.num_gaussians
     budget = instance_budget(n_for_budget, DEFAULT.tiles.chunk,
                              args.budget_factor)
-    if adaptive and mesh is not None:
-        print("error: --densify_every with --mesh is not supported yet",
-              file=sys.stderr)
-        return 1
     if mesh is not None:
         scene = mesh_lib.shard_scene(scene, mesh)
         d = mesh.devices.size
-        step = trainer.make_train_step(
-            (w, h), DEFAULT, lr=args.lr, budget=budget, mesh=mesh,
-            budget_per_device=-(-budget // d), loss=args.loss)
+        bpd = -(-budget // d)
+        if adaptive:
+            # densify_and_prune is a pure fixed-capacity program: plain jit
+            # + GSPMD partition it over the sharded buffers (capacity is a
+            # 128-multiple, so any power-of-two mesh divides it)
+            step = trainer.make_adaptive_train_step(
+                (w, h), DEFAULT, lr=args.lr, budget=budget, mesh=mesh,
+                budget_per_device=bpd, loss=args.loss)
+        else:
+            step = trainer.make_train_step(
+                (w, h), DEFAULT, lr=args.lr, budget=budget, mesh=mesh,
+                budget_per_device=bpd, loss=args.loss)
     elif adaptive:
         step = trainer.make_adaptive_train_step(
             (w, h), DEFAULT, lr=args.lr, budget=budget, loss=args.loss)
+    else:
+        step = trainer.make_train_step((w, h), DEFAULT, lr=args.lr,
+                                       budget=budget, loss=args.loss)
+    if adaptive:
         stats = dz.DensifyStats.zeros(scene.num_gaussians)
         densify_until = (args.densify_until if args.densify_until is not None
                          else args.iters // 2)
         key = jax.random.PRNGKey(0)
-    else:
-        step = trainer.make_train_step((w, h), DEFAULT, lr=args.lr,
-                                       budget=budget, loss=args.loss)
     state = trainer.init_state(scene, lr=args.lr)
     labels = jnp.asarray(scene.labels)
     start = 0
