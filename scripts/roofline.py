@@ -33,25 +33,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROWS, LANES = 256, 1024          # 1 MB f32 working set in VMEM
-INNER = 64                       # chained ops per element per grid step
-GRID = 512
+ROWS, LANES = 8, 256             # one chain = 2 f32 vregs (no spills)
+CHAINS = 8                       # independent chains (hide FMA latency)
+LOOP = 48                        # fully unrolled iterations per grid step
+GRID = 2048
 
 
 def _fma_kernel(x_ref, o_ref):
-    x = x_ref[...]
+    # CHAINS independent vreg-resident FMA chains inside a fori_loop: a
+    # single chain is latency-bound and large blocks spill vregs — both
+    # understated the VPU 2-4x in earlier versions of this script.
     a = 1.0000001
     b = 1e-7
-    for _ in range(INNER):
-        x = x * a + b            # 1 FMA = 2 flops
-    o_ref[...] = x
+    xs = tuple(x_ref[...] * (1.0 + 1e-6 * i) for i in range(CHAINS))
+    for _ in range(LOOP):        # fully unrolled (Mosaic: unroll 1 or all)
+        xs = tuple(x * a + b for x in xs)
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = acc + x
+    o_ref[...] = acc
 
 
 def _exp_kernel(x_ref, o_ref):
-    x = x_ref[...]
-    for _ in range(INNER // 8):
-        x = jnp.exp(-jnp.abs(x) * 1e-3)
-    o_ref[...] = x
+    xs = tuple(x_ref[...] * (1.0 + 1e-3 * i) for i in range(CHAINS))
+    for _ in range(LOOP // 8):   # fully unrolled
+        xs = tuple(jnp.exp(-jnp.abs(x) * 1e-3) for x in xs)
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = acc + x
+    o_ref[...] = acc
 
 
 def _run(kernel):
@@ -90,10 +100,10 @@ def main():
     elems = ROWS * LANES * GRID
 
     t_fma = _run(_fma_kernel)
-    fma_rate = elems * INNER * 2 / t_fma          # flops/s
+    fma_rate = elems * CHAINS * LOOP * 2 / t_fma  # flops/s
     t_exp = _run(_exp_kernel)
     # each exp iteration also does abs+mul (~2 flops) — subtract at fma rate
-    exp_iters = elems * (INNER // 8)
+    exp_iters = elems * CHAINS * (LOOP // 8)
     t_exp_pure = t_exp - exp_iters * 2 / fma_rate
     exp_rate = exp_iters / max(t_exp_pure, 1e-9)  # transcendentals/s
 
