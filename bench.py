@@ -138,15 +138,20 @@ def main() -> None:
         float(run(scene, n))
         return time.time() - t0
 
-    # remote-tunnel RTT jitters by tens of ms: take the slope between two
-    # well-separated iteration counts, MEDIAN-of-5 each — min-of-3 let a
-    # single fast outlier understate the frame time by ~40% once (r2 notes)
+    # remote-tunnel RTT jitters by tens of ms AND drifts on a ~10s scale
+    # (r3 notes: identical configs measured 16.8-20.0 ms across runs with
+    # separated hi/lo batches). Interleave (hi, lo) measurement PAIRS so the
+    # slope differences each hi against an adjacent lo — pairwise
+    # differencing cancels slow drift; median over pairs kills outliers.
     import statistics
 
     n_hi, n_lo = args.iters + 1, max(args.iters // 4, 1)
-    dt_hi = statistics.median(timed(n_hi) for _ in range(5))
-    dt_lo = statistics.median(timed(n_lo) for _ in range(5))
-    dt = max((dt_hi - dt_lo) / (n_hi - n_lo), 1e-6)
+    diffs = []
+    for _ in range(7):
+        a = timed(n_hi)
+        b = timed(n_lo)
+        diffs.append(a - b)
+    dt = max(statistics.median(diffs) / (n_hi - n_lo), 1e-6)
     mpix = args.width * args.height / dt / 1e6
 
     mode = "fwd" if args.forward_only else "fwd+bwd"

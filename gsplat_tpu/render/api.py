@@ -132,19 +132,25 @@ def _blend_windows_bwd_rule(chunk, tile_size, tiles_x, num_tiles, alpha_min,
         num_tiles=num_tiles, alpha_min=alpha_min, alpha_max=alpha_max,
         interpret=interpret, early_eps=early_eps)
     # Enumeration-order segment sum (dropped instances index OOB -> zero).
+    # Only the first NG columns of the grad rows are live (d_mx..d_col_b);
+    # running the cumsum + boundary gathers at width 9 instead of 16 nearly
+    # halves their HBM traffic.
+    ng = blend_pallas.P_VALID  # 9 live grad columns
     krows = drows.shape[0]
     budget = enum_kernel_row.shape[0]
     rows = jnp.where(
         (enum_kernel_row < krows)[:, None],
-        drows.at[jnp.minimum(enum_kernel_row, krows - 1)].get(mode="clip"),
-        0.0)                                           # [B, 16] enum order
+        drows.at[jnp.minimum(enum_kernel_row, krows - 1)].get(
+            mode="clip")[:, :ng],
+        0.0)                                           # [B, ng] enum order
     cs = jnp.cumsum(rows, axis=0)
     hi = cs.at[jnp.clip(enum_start + enum_cnt - 1, 0, budget - 1)].get(
         mode="clip")
     lo = jnp.where((enum_start > 0)[:, None],
                    cs.at[jnp.maximum(enum_start - 1, 0)].get(mode="clip"),
                    0.0)
-    dptab = jnp.where((enum_cnt > 0)[:, None], hi - lo, 0.0)  # [N, 16]
+    dseg = jnp.where((enum_cnt > 0)[:, None], hi - lo, 0.0)  # [N, ng]
+    dptab = jnp.pad(dseg, ((0, 0), (0, blend_pallas.PARAM_ROWS - ng)))
     zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return (dptab, zi(inst_gauss), zi(win_tile), zi(win_first),
             zi(win_start), zi(win_off), zi(win_len), zi(enum_kernel_row),

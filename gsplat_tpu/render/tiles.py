@@ -297,8 +297,11 @@ def bin_windows(
     kernel_row = w_of_s * chunk + (s_idx - ws_of_s)
     krows = k_static * chunk
     kernel_row = jnp.where(s_idx < we_of_s, kernel_row, krows)
-    enum_kernel_row = jnp.full((budget,), krows, jnp.int32).at[
-        je_sorted].set(kernel_row, mode="drop", unique_indices=True)
+    # inverse-permute kernel_row back to enumeration order by SORTING on the
+    # (unique) enum indices with kernel_row as payload — ~3x faster than the
+    # equivalent [B] scatter on v5e (scripts/profile_bin_parts.py:
+    # sort 0.2-0.4ms vs scatter 1.2ms at B=246k)
+    _, enum_kernel_row = jax.lax.sort((je_sorted, kernel_row), num_keys=1)
 
     return WindowBinning(inst_gauss=inst_gauss, win_tile=win_tile,
                          win_first=win_first, win_start=win_start_pad,
