@@ -277,26 +277,37 @@ def bin_windows(
 
     # --- enumeration-index -> kernel grad-output row. The backward kernel
     # writes window k's grad rows at [k*chunk + (s - win_start_k)] for
-    # stream position s. Spread the owning window index / aligned start /
-    # live end down the stream with three cummaxes (each is monotone along
-    # the stream; seeds sit at each window's FIRST LIVE row so a tile's
-    # lead rows stay owned by the previous window), then scatter through
-    # the sort payload back to enumeration order.
+    # stream position s; within tile t the windows are chunk-strided from
+    # base_t, so the map is per-tile AFFINE: kernel_row(s) = wstart_t*chunk
+    # + (s - base_t), live while s < tile_start_t + n_keep_t. The owning
+    # tile of every sorted position is just the high bits of the sorted
+    # packed key, so ONE [B, 16] row gather from a tiny per-tile table
+    # replaces the r3.0 three scatter+cummax spreads (row gathers are
+    # ~0.34ms at B=246k on v5e where three [B] scatter+cummax chains cost
+    # ~0.8ms; single-COLUMN [B] gathers would be 1.7ms — keep it a row
+    # gather; scripts/profile_bin_parts.py).
     s_idx = j  # stream positions [budget]
-    ws_live = win_start_pad + win_off
-    drop_pad = jnp.where(pad | (win_len == 0), budget, ws_live)
-    wids = jnp.arange(k_static, dtype=jnp.int32)
-    w_of_s = jax.lax.cummax(
-        jnp.zeros((budget,), jnp.int32).at[drop_pad].max(wids, mode="drop"))
-    ws_of_s = jax.lax.cummax(
-        jnp.zeros((budget,), jnp.int32).at[drop_pad].max(
-            win_start_pad, mode="drop"))
-    we_of_s = jax.lax.cummax(
-        jnp.zeros((budget,), jnp.int32).at[drop_pad].max(
-            ws_live + win_len, mode="drop"))
-    kernel_row = w_of_s * chunk + (s_idx - ws_of_s)
     krows = k_static * chunk
-    kernel_row = jnp.where(s_idx < we_of_s, kernel_row, krows)
+    tile_of_s = jnp.minimum(
+        jax.lax.shift_right_logical(keys, db), num_tiles - 1)
+    if budget < (1 << 24) and krows < (1 << 24):
+        # |wstart_t*chunk - base_t| < max(krows, budget) and end_live <=
+        # budget: exact in f32, so one wide row gather serves both columns.
+        ttab = jnp.stack(
+            [(wstart_t * chunk - base_t).astype(jnp.float32),
+             (tile_start + n_keep).astype(jnp.float32)]
+            + [jnp.zeros((num_tiles,), jnp.float32)] * 14, axis=1)  # [T, 16]
+        trow_s = ttab.at[tile_of_s].get(mode="clip")
+        kernel_row = s_idx + trow_s[:, 0].astype(jnp.int32)
+        kernel_row = jnp.where(s_idx < trow_s[:, 1].astype(jnp.int32),
+                               kernel_row, krows)
+    else:
+        # huge scenes: two exact i32 gathers (slower, correct — ADVICE r1)
+        kernel_row = s_idx + (wstart_t * chunk - base_t).at[tile_of_s].get(
+            mode="clip")
+        kernel_row = jnp.where(
+            s_idx < (tile_start + n_keep).at[tile_of_s].get(mode="clip"),
+            kernel_row, krows)
     # inverse-permute kernel_row back to enumeration order by SORTING on the
     # (unique) enum indices with kernel_row as payload — ~3x faster than the
     # equivalent [B] scatter on v5e (scripts/profile_bin_parts.py:

@@ -1,5 +1,7 @@
 """Decompose bin_windows' runtime into its constituent ops on the bench
 scene (r3): sort vs gathers vs scatters vs cummax spreads vs elementwise."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -4,6 +4,8 @@ Every stage's return value sums over its full outputs so DCE can't trim the
 work, and all inputs are perturbed by the loop carry so loop-invariant
 hoisting can't lift the op out of the fori_loop.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

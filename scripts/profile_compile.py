@@ -4,6 +4,8 @@ Times .lower().compile() for each stage separately on the bench scene
 shapes so the dominant compile cost is attributable (VERDICT r1 weak #2:
 61.9s -> target <20s).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -1,4 +1,6 @@
 """Which part of bin_windows costs 18s of XLA compile? Cumulative stages."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -1,4 +1,6 @@
 """Compile-time of depth-sort variants at N=100k (argsort = 18s?!)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

@@ -7,6 +7,8 @@ The window blend VJP must fold ~206k grad rows [K*(chunk+8), 16] back onto
      (round-1 segment-sum trick)
 Also times the budget-row gather and cumsum alone.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

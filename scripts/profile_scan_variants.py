@@ -7,6 +7,8 @@ Sklansky + group-total spread) does 3 full-size steps + small-group work.
 Checks exactness in interpret mode, then times both inside a minimal
 Pallas kernel on the TPU.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import sys
 import time

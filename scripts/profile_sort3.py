@@ -4,6 +4,8 @@ current: N-argsort(depth) [18s compile] + single-key i32 sort of
          (tile<<rank_bits | rank) with je payload
 proposed: no argsort; one (tile, depth_bits, je) num_keys=2|3 sort
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

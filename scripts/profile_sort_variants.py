@@ -1,4 +1,6 @@
 """Measure sort/gather variants that decide the new binning design."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -4,6 +4,8 @@ Each stage runs inside one jitted ``lax.fori_loop`` with a genuine data
 dependency (bench.py methodology) so remote-tunnel dispatch overhead is
 amortized and XLA cannot hoist the work. Prints ms/iter per stage.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

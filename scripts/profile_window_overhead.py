@@ -6,6 +6,8 @@ Times the forward/backward window kernels on the bench scene three ways:
   - live windows only: k_static cut to the real window count
 Prints ms and us/step so kernel work vs fixed overhead separate.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 
