@@ -48,6 +48,8 @@ def main() -> None:
     ap.add_argument("--forward-only", action="store_true")
     ap.add_argument("--tile-size", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=None)
+    ap.add_argument("--wpg", type=int, default=None,
+                    help="windows per Pallas grid step")
     args = ap.parse_args()
 
     import dataclasses as _dc
@@ -72,6 +74,8 @@ def main() -> None:
             cfg.raster, tile_size=args.tile_size))
     if args.chunk is not None:
         cfg = _dc.replace(cfg, tiles=_dc.replace(cfg.tiles, chunk=args.chunk))
+    if args.wpg is not None:
+        cfg = _dc.replace(cfg, tiles=_dc.replace(cfg.tiles, wpg=args.wpg))
     cam = look_at_camera((0.0, 0.0, -3.0), (0.0, 0.0, 0.0),
                          width=args.width, height=args.height)
     scene = random_scene(args.num_gaussians, seed=0, extent=1.5,

@@ -89,8 +89,9 @@ def main() -> None:
                 b = bin_windows(pp, tiles_x=tiles_x, tiles_y=band_ty,
                                 tile_size=ts, chunk=cfg.tiles.chunk,
                                 budget=budget, kernel_budget=kb,
-                                num_windows=nw)
-                prm = _window_params(pt, b.inst_gauss, cfg.tiles.chunk)
+                                num_windows=nw, wpg=cfg.tiles.wpg)
+                prm = _window_params(pt, b.inst_gauss, cfg.tiles.chunk,
+                                     cfg.tiles.wpg)
                 return (c + prm[0, 0] * 1e-30
                         + b.win_len[0].astype(jnp.float32) * 1e-30)
             return jax.lax.fori_loop(0, iters, body, 0.0)

@@ -69,6 +69,14 @@ class TileConfig:
     # measured best on v5e at 32x32 tiles: halves per-tile padding waste vs
     # 128 while grid-step overhead stays amortized (32 regresses).
     chunk: int = 64
+    # Windows processed per Pallas grid step (grouped so consecutive windows
+    # of one tile share a grid step and ONE wpg*chunk-row DMA). MEASURED A
+    # DUD on v5e (scripts/profile_window_overhead.py): the ~0.3us/window
+    # overhead is the per-window scalar reads + @pl.when branches, which
+    # grouping retains — all-dead grids cost the same at wpg 1/2/4, live
+    # kernels time identically, and the per-tile window rounding inflates
+    # the grad-row table ~13%. Default 1; the knob stays for other chips.
+    wpg: int = 1
     # Instance budget as a multiple of N (number of gaussians). The binning
     # pass reports overflow; callers can re-run with a bigger budget.
     budget_factor: float = 4.0

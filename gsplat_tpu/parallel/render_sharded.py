@@ -109,14 +109,14 @@ def render_sharded(
             projf, tiles_x=tiles_x, tiles_y=band_ty, tile_size=ts,
             chunk=cfg.tiles.chunk, budget=budget_per_device,
             kernel_budget=kernel_budget_per_device,
-            num_windows=num_windows_per_device)
+            num_windows=num_windows_per_device, wpg=cfg.tiles.wpg)
         ptab = pack_table(projf, labelsf)
         out_tiles = blend_scene_windows(
             ptab, binning.inst_gauss, binning.win_tile,
             binning.win_first, binning.win_start, binning.win_off,
             binning.win_len, binning.enum_kernel_row, binning.enum_start,
             binning.enum_cnt,
-            cfg.tiles.chunk, ts, tiles_x, tiles_x * band_ty,
+            cfg.tiles.chunk, cfg.tiles.wpg, ts, tiles_x, tiles_x * band_ty,
             rc.alpha_min, rc.alpha_max, with_labels, interpret,
             rc.early_stop_eps)
         img4 = blend_pallas.tiles_to_image(
@@ -190,15 +190,16 @@ def measure_budgets_sharded(
             projd, tiles_x=tiles_x, tiles_y=band_ty, tile_size=ts,
             budget=budget)))
     kernel_budget = bucket_budget(max(tight, 1), cfg.tiles.chunk)
+    wpg = cfg.tiles.wpg
     for projd in budgets:
         nw = max(nw, int(count_windows(
             projd, tiles_x=tiles_x, tiles_y=band_ty, tile_size=ts,
             chunk=cfg.tiles.chunk, budget=budget,
-            kernel_budget=kernel_budget)))
-    num_windows = max(min(bucket_budget(nw, 8, slack=1.04, step=1.1),
+            kernel_budget=kernel_budget, wpg=wpg)))
+    num_windows = max(min(bucket_budget(nw, 8 * wpg, slack=1.04, step=1.1),
                           num_windows_static(kernel_budget, cfg.tiles.chunk,
-                                             tiles_x * band_ty)),
-                      tiles_x * band_ty + 1)
+                                             tiles_x * band_ty, wpg)),
+                      (tiles_x * band_ty + 1) * wpg)
     return budget, kernel_budget, num_windows
 
 

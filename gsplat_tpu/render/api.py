@@ -48,20 +48,20 @@ def pack_table(proj: Projected, labels: jax.Array) -> jax.Array:
 
 
 def _window_params(ptab: jax.Array, inst_gauss: jax.Array,
-                   chunk: int) -> jax.Array:
-    """Dense sorted instance rows [B + chunk, PARAM_LANES].
+                   chunk: int, wpg: int = 1) -> jax.Array:
+    """Dense sorted instance rows [B + wpg*chunk, PARAM_LANES].
 
     Width 128 so the kernel's window DMA slices full physical rows (XLA
     lane-pads a [R, 16] f32 array to 128 lanes in HBM regardless, so this
-    costs no extra memory); trailing zero rows keep fixed-size window
-    fetches in bounds."""
+    costs no extra memory); trailing zero rows keep fixed-size wpg*chunk-row
+    group fetches in bounds."""
     dense = ptab.at[inst_gauss].get(mode="clip")       # [B, 16]
-    return jnp.pad(dense, ((0, chunk),
+    return jnp.pad(dense, ((0, wpg * chunk),
                            (0, blend_pallas.PARAM_LANES - dense.shape[1])))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15,
-                                                    16, 17, 18))
+                                                    16, 17, 18, 19))
 def blend_scene_windows(
     ptab: jax.Array,            # [N, 16] params in ORIGINAL gaussian order
     inst_gauss: jax.Array,      # [B] i32 gaussian index per sorted instance
@@ -74,6 +74,7 @@ def blend_scene_windows(
     enum_start: jax.Array,      # [N] i32 enumeration offsets (orig order)
     enum_cnt: jax.Array,        # [N] i32 enumeration counts (orig order)
     chunk: int,
+    wpg: int,
     tile_size: int,
     tiles_x: int,
     num_tiles: int,
@@ -92,23 +93,23 @@ def blend_scene_windows(
     scatter-add costs ~4.8ms at 206k instances on v5e. The gradient comes
     out directly in original gaussian order, so no permutation scatters
     either."""
-    params = _window_params(ptab, inst_gauss, chunk)
+    params = _window_params(ptab, inst_gauss, chunk, wpg)
     return blend_pallas.blend_windows_fwd(
         params, win_tile, win_first, win_start, win_off, win_len,
-        chunk=chunk, tile_size=tile_size, tiles_x=tiles_x,
+        chunk=chunk, wpg=wpg, tile_size=tile_size, tiles_x=tiles_x,
         num_tiles=num_tiles, alpha_min=alpha_min, alpha_max=alpha_max,
         with_labels=with_labels, interpret=interpret, early_eps=early_eps)
 
 
 def _blend_windows_fwd_rule(ptab, inst_gauss, win_tile, win_first,
                             win_start, win_off, win_len, enum_kernel_row,
-                            enum_start, enum_cnt, chunk, tile_size, tiles_x,
-                            num_tiles, alpha_min, alpha_max, with_labels,
-                            interpret, early_eps):
-    params = _window_params(ptab, inst_gauss, chunk)
+                            enum_start, enum_cnt, chunk, wpg, tile_size,
+                            tiles_x, num_tiles, alpha_min, alpha_max,
+                            with_labels, interpret, early_eps):
+    params = _window_params(ptab, inst_gauss, chunk, wpg)
     out = blend_pallas.blend_windows_fwd(
         params, win_tile, win_first, win_start, win_off, win_len,
-        chunk=chunk, tile_size=tile_size, tiles_x=tiles_x,
+        chunk=chunk, wpg=wpg, tile_size=tile_size, tiles_x=tiles_x,
         num_tiles=num_tiles, alpha_min=alpha_min, alpha_max=alpha_max,
         with_labels=with_labels, interpret=interpret, early_eps=early_eps)
     res = (params, inst_gauss, win_tile, win_first, win_start, win_off,
@@ -116,41 +117,39 @@ def _blend_windows_fwd_rule(ptab, inst_gauss, win_tile, win_first,
     return out, res
 
 
-def _blend_windows_bwd_rule(chunk, tile_size, tiles_x, num_tiles, alpha_min,
-                            alpha_max, with_labels, interpret, early_eps,
-                            res, g):
+def _blend_windows_bwd_rule(chunk, wpg, tile_size, tiles_x, num_tiles,
+                            alpha_min, alpha_max, with_labels, interpret,
+                            early_eps, res, g):
     (params, inst_gauss, win_tile, win_first, win_start, win_off, win_len,
      enum_kernel_row, enum_start, enum_cnt, out) = res
-    grgb = g[:, 0:3, :]
-    gt = g[:, 3:4, :]
-    # Per-pixel total D = C . dC + T_final . dT (suffix-sum seed).
-    d = (jnp.sum(out[:, 0:3, :] * grgb, axis=1, keepdims=True)
-         + out[:, 3:4, :] * gt)
+    # The per-pixel suffix seed D = C . dC + T_final . dT is computed inside
+    # the backward kernel from the raw cotangent + forward residual blocks
+    # (4 FMAs on [1, P] per window) — no separate XLA pass over [T, 8, P].
     drows = blend_pallas.blend_windows_bwd(
-        params, win_tile, win_first, win_start, win_off, win_len, grgb, d,
-        chunk=chunk, tile_size=tile_size, tiles_x=tiles_x,
+        params, win_tile, win_first, win_start, win_off, win_len, g, out,
+        chunk=chunk, wpg=wpg, tile_size=tile_size, tiles_x=tiles_x,
         num_tiles=num_tiles, alpha_min=alpha_min, alpha_max=alpha_max,
         interpret=interpret, early_eps=early_eps)
     # Enumeration-order segment sum (dropped instances index OOB -> zero).
-    # Only the first NG columns of the grad rows are live (d_mx..d_col_b);
-    # running the cumsum + boundary gathers at width 9 instead of 16 nearly
-    # halves their HBM traffic.
-    ng = blend_pallas.P_VALID  # 9 live grad columns
+    # Everything stays 16 columns wide even though only the first 9 are
+    # live: 16-wide (sublane-aligned) row gathers are ~3x faster than 9-wide
+    # on v5e (scripts/profile_vjp_glue.py: boundary gathers 1.26ms at width
+    # 9 vs ~0.35ms at 16) while the [B,16] cumsum costs only ~0.02ms more
+    # than [B,9]; the kernel zero-fills columns 9..15, so the segment sum
+    # lands directly in PARAM_ROWS layout — no trailing pad either.
     krows = drows.shape[0]
     budget = enum_kernel_row.shape[0]
     rows = jnp.where(
         (enum_kernel_row < krows)[:, None],
-        drows.at[jnp.minimum(enum_kernel_row, krows - 1)].get(
-            mode="clip")[:, :ng],
-        0.0)                                           # [B, ng] enum order
+        drows.at[jnp.minimum(enum_kernel_row, krows - 1)].get(mode="clip"),
+        0.0)                                           # [B, 16] enum order
     cs = jnp.cumsum(rows, axis=0)
     hi = cs.at[jnp.clip(enum_start + enum_cnt - 1, 0, budget - 1)].get(
         mode="clip")
     lo = jnp.where((enum_start > 0)[:, None],
                    cs.at[jnp.maximum(enum_start - 1, 0)].get(mode="clip"),
                    0.0)
-    dseg = jnp.where((enum_cnt > 0)[:, None], hi - lo, 0.0)  # [N, ng]
-    dptab = jnp.pad(dseg, ((0, 0), (0, blend_pallas.PARAM_ROWS - ng)))
+    dptab = jnp.where((enum_cnt > 0)[:, None], hi - lo, 0.0)  # [N, 16]
     zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return (dptab, zi(inst_gauss), zi(win_tile), zi(win_first),
             zi(win_start), zi(win_off), zi(win_len), zi(enum_kernel_row),
@@ -201,16 +200,16 @@ def _render_impl(
     binning = bin_windows(
         proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_size=rc.tile_size,
         chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget,
-        num_windows=num_windows)
+        num_windows=num_windows, wpg=cfg.tiles.wpg)
     ptab = pack_table(proj, scene.labels)
     out_tiles = blend_scene_windows(
         ptab, binning.inst_gauss, binning.win_tile,
         binning.win_first, binning.win_start, binning.win_off,
         binning.win_len, binning.enum_kernel_row, binning.enum_start,
         binning.enum_cnt,
-        cfg.tiles.chunk, rc.tile_size, tiles_x, tiles_x * tiles_y,
-        rc.alpha_min, rc.alpha_max, with_labels, interpret,
-        rc.early_stop_eps)
+        cfg.tiles.chunk, cfg.tiles.wpg, rc.tile_size, tiles_x,
+        tiles_x * tiles_y, rc.alpha_min, rc.alpha_max, with_labels,
+        interpret, rc.early_stop_eps)
     img4 = blend_pallas.tiles_to_image(
         out_tiles[:, 0:4, :], tiles_x, tiles_y, rc.tile_size, width, height)
     rgb, transmit = img4[..., 0:3], img4[..., 3]
@@ -256,13 +255,14 @@ def _render_vis_impl(
     binning = bin_windows(
         proj, tiles_x=tiles_x, tiles_y=tiles_y, tile_size=rc.tile_size,
         chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget,
-        num_windows=num_windows)
+        num_windows=num_windows, wpg=cfg.tiles.wpg)
     ptab = pack_table(proj, scene.labels)
-    params = _window_params(ptab, binning.inst_gauss, cfg.tiles.chunk)
+    params = _window_params(ptab, binning.inst_gauss, cfg.tiles.chunk,
+                            cfg.tiles.wpg)
     out_tiles, wrows = blend_pallas.blend_windows_vis(
         params, binning.win_tile, binning.win_first, binning.win_start,
         binning.win_off, binning.win_len, chunk=cfg.tiles.chunk,
-        tile_size=rc.tile_size, tiles_x=tiles_x,
+        wpg=cfg.tiles.wpg, tile_size=rc.tile_size, tiles_x=tiles_x,
         num_tiles=tiles_x * tiles_y, alpha_min=rc.alpha_min,
         alpha_max=rc.alpha_max, with_labels=with_labels,
         interpret=interpret)
@@ -363,13 +363,15 @@ def measure_budgets(scene: GaussianScene, camera: Camera,
     kernel_budget = bucket_budget(tight, cfg.tiles.chunk)
     nw = int(count_windows(
         proj, tiles_x=tx, tiles_y=ty, tile_size=cfg.raster.tile_size,
-        chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget))
-    # finer window buckets (step 1.1): a grid step costs ~0.45us whether it
+        chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kernel_budget,
+        wpg=cfg.tiles.wpg))
+    # finer window buckets (step 1.1): a grid step costs ~0.3us whether it
     # works or not, so 1.25-steps waste up to ~20% of the kernel walltime
-    num_windows = max(min(bucket_budget(nw, 8, slack=1.04, step=1.1),
+    wpg = cfg.tiles.wpg
+    num_windows = max(min(bucket_budget(nw, 8 * wpg, slack=1.04, step=1.1),
                           num_windows_static(kernel_budget, cfg.tiles.chunk,
-                                             tx * ty)),
-                      tx * ty + 1)
+                                             tx * ty, wpg)),
+                      (tx * ty + 1) * wpg)
     return budget, kernel_budget, num_windows
 
 
@@ -395,9 +397,11 @@ def measure_budgets_multi(scene: GaussianScene, cameras,
     kernel_budget = bucket_budget(tight, cfg.tiles.chunk)
     nw = max(int(count_windows(
         p, tiles_x=tx, tiles_y=ty, tile_size=ts, chunk=cfg.tiles.chunk,
-        budget=budget, kernel_budget=kernel_budget)) for p in projs)
-    num_windows = max(min(bucket_budget(nw, 8, slack=1.04, step=1.1),
+        budget=budget, kernel_budget=kernel_budget, wpg=cfg.tiles.wpg))
+        for p in projs)
+    wpg = cfg.tiles.wpg
+    num_windows = max(min(bucket_budget(nw, 8 * wpg, slack=1.04, step=1.1),
                           num_windows_static(kernel_budget, cfg.tiles.chunk,
-                                             tx * ty)),
-                      tx * ty + 1)
+                                             tx * ty, wpg)),
+                      (tx * ty + 1) * wpg)
     return budget, kernel_budget, num_windows

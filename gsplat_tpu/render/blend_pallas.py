@@ -166,220 +166,254 @@ def _win_rowmask(off, win_len_k, rows_total: int):
     return ((rows >= off) & (rows < off + win_len_k)).astype(jnp.float32)
 
 
-def _win_dma(params_hbm, pbuf, psem, win_start, idx, chunk: int):
-    slot = jax.lax.rem(idx, 2)
-    base = pl.multiple_of(win_start[idx], 8)
+def _win_dma(params_hbm, pbuf, psem, win_start, gidx, chunk: int, wpg: int):
+    """One DMA covers the grid step's whole window GROUP (wpg consecutive
+    chunk-row windows of one tile — contiguous by construction)."""
+    slot = jax.lax.rem(gidx, 2)
+    base = pl.multiple_of(win_start[gidx * wpg], 8)
     return pltpu.make_async_copy(
-        params_hbm.at[pl.ds(base, chunk)],
+        params_hbm.at[pl.ds(base, wpg * chunk)],
         pbuf.at[slot], psem.at[slot])
 
 
-def _win_prologue(k, params_hbm, pbuf, psem, win_start, win_len, chunk: int):
+def _win_prologue(g, params_hbm, pbuf, psem, win_start, win_len, chunk: int,
+                  wpg: int):
     """Start this step's DMA on step 0, prefetch next step's, wait for ours.
 
-    Dead windows (win_len == 0: per-tile padding or grid slack) skip their
-    DMA entirely — start and wait are gated by the same condition, so the
-    double-buffer semaphores stay balanced."""
-    nk = pl.num_programs(0)
+    Dead groups (win_len[first] == 0: per-tile padding or grid slack —
+    windows fill front-to-back within a tile, so a dead first window means
+    the whole group is dead) skip their DMA entirely — start and wait are
+    gated by the same condition, so the double-buffer semaphores stay
+    balanced."""
+    ng = pl.num_programs(0)
 
-    @pl.when((k == 0) & (win_len[k] > 0))
+    @pl.when((g == 0) & (win_len[0] > 0))
     def _():
-        _win_dma(params_hbm, pbuf, psem, win_start, k, chunk).start()
+        _win_dma(params_hbm, pbuf, psem, win_start, g, chunk, wpg).start()
 
-    @pl.when(k + 1 < nk)
+    @pl.when(g + 1 < ng)
     def _():
-        @pl.when(win_len[k + 1] > 0)
+        @pl.when(win_len[(g + 1) * wpg] > 0)
         def _():
-            _win_dma(params_hbm, pbuf, psem, win_start, k + 1, chunk).start()
+            _win_dma(params_hbm, pbuf, psem, win_start, g + 1, chunk,
+                     wpg).start()
 
-    @pl.when(win_len[k] > 0)
+    @pl.when(win_len[g * wpg] > 0)
     def _():
-        _win_dma(params_hbm, pbuf, psem, win_start, k, chunk).wait()
+        _win_dma(params_hbm, pbuf, psem, win_start, g, chunk, wpg).wait()
 
 
 def _fwd_win_kernel(win_tile, win_first, win_start, win_off, win_len,
-                    params_hbm, out_ref, pbuf, psem, *, chunk: int,
+                    params_hbm, out_ref, pbuf, psem, *, chunk: int, wpg: int,
                     tile_size: int, tiles_x: int, alpha_min: float,
                     alpha_max: float, with_labels: bool, early_eps: float):
-    k = pl.program_id(0)
-    t = win_tile[k]
+    g = pl.program_id(0)
+    w0 = g * wpg
+    t = win_tile[w0]
 
-    @pl.when(win_first[k] == 1)
+    @pl.when(win_first[w0] == 1)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
         out_ref[0, 3:4, :] = jnp.ones_like(out_ref[0, 3:4, :])
         if with_labels:
             out_ref[0, 5:6, :] = jnp.full_like(out_ref[0, 5:6, :], -1.0)
 
-    _win_prologue(k, params_hbm, pbuf, psem, win_start, win_len, chunk)
+    _win_prologue(g, params_hbm, pbuf, psem, win_start, win_len, chunk, wpg)
+    buf = pbuf[jax.lax.rem(g, 2)]
 
-    t_carry = out_ref[0, 3:4, :]
-    live = win_len[k] > 0
-    if early_eps > 0:
-        live &= jnp.max(t_carry) >= early_eps
+    for h in range(wpg):                 # unrolled: wpg is static
+        wi = w0 + h
+        t_carry = out_ref[0, 3:4, :]
+        live = win_len[wi] > 0
+        if early_eps > 0:
+            live &= jnp.max(t_carry) >= early_eps
 
-    @pl.when(live)
-    def _compute():
-        params = pbuf[jax.lax.rem(k, 2)][:, :PARAM_ROWS]
-        alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
-                                 alpha_max)
-        alpha = alpha * _win_rowmask(win_off[k], win_len[k], chunk)
-        incl = _cumprod_rows(1.0 - alpha)
-        excl = _shift_down_one(incl, 1.0)
-        w = t_carry * excl * alpha
-        _accumulate_rgb(out_ref, params, w, t_carry, incl)
-        if with_labels:
-            _accumulate_labels(out_ref, params, w)
+        @pl.when(live)
+        def _compute(h=h, wi=wi, t_carry=t_carry):
+            params = buf[h * chunk:(h + 1) * chunk, :PARAM_ROWS]
+            alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x,
+                                     alpha_min, alpha_max)
+            alpha = alpha * _win_rowmask(win_off[wi], win_len[wi], chunk)
+            incl = _cumprod_rows(1.0 - alpha)
+            excl = _shift_down_one(incl, 1.0)
+            w = t_carry * excl * alpha
+            _accumulate_rgb(out_ref, params, w, t_carry, incl)
+            if with_labels:
+                _accumulate_labels(out_ref, params, w)
 
 
 def _fwd_win_vis_kernel(win_tile, win_first, win_start, win_off, win_len,
                         params_hbm, out_ref, w_ref, pbuf, psem, *, chunk: int,
-                        tile_size: int, tiles_x: int, alpha_min: float,
-                        alpha_max: float, with_labels: bool):
+                        wpg: int, tile_size: int, tiles_x: int,
+                        alpha_min: float, alpha_max: float,
+                        with_labels: bool):
     """Window forward that also records each instance's max blend weight
     (per-gaussian visibility evidence for the occlusion-aware vote) and its
     ORIGINAL gaussian index, for a segment-max reduction outside the
     kernel."""
-    k = pl.program_id(0)
-    t = win_tile[k]
+    g = pl.program_id(0)
+    w0 = g * wpg
+    t = win_tile[w0]
 
-    @pl.when(win_first[k] == 1)
+    @pl.when(win_first[w0] == 1)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
         out_ref[0, 3:4, :] = jnp.ones_like(out_ref[0, 3:4, :])
         if with_labels:
             out_ref[0, 5:6, :] = jnp.full_like(out_ref[0, 5:6, :], -1.0)
 
-    _win_prologue(k, params_hbm, pbuf, psem, win_start, win_len, chunk)
+    _win_prologue(g, params_hbm, pbuf, psem, win_start, win_len, chunk, wpg)
     w_ref[...] = jnp.zeros_like(w_ref)
     w_ref[:, 1:2] = jnp.full_like(w_ref[:, 1:2], -1.0)  # gid sentinel
+    buf = pbuf[jax.lax.rem(g, 2)]
 
-    @pl.when(win_len[k] > 0)
-    def _compute():
-        params = pbuf[jax.lax.rem(k, 2)][:, :PARAM_ROWS]
-        rowmask = _win_rowmask(win_off[k], win_len[k], chunk)
-        alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
-                                 alpha_max)
-        alpha = alpha * rowmask
-        incl = _cumprod_rows(1.0 - alpha)
-        excl = _shift_down_one(incl, 1.0)
-        t_carry = out_ref[0, 3:4, :]
-        w = t_carry * excl * alpha
-        _accumulate_rgb(out_ref, params, w, t_carry, incl)
-        if with_labels:
-            _accumulate_labels(out_ref, params, w)
-        wmax = jnp.max(w, axis=1, keepdims=True)       # (chunk, 1)
-        w_ref[:, 0:1] = wmax
-        w_ref[:, 1:2] = jnp.where(rowmask > 0,
-                                  params[:, P_GID:P_GID + 1], -1.0)
+    for h in range(wpg):
+        wi = w0 + h
+
+        @pl.when(win_len[wi] > 0)
+        def _compute(h=h, wi=wi):
+            params = buf[h * chunk:(h + 1) * chunk, :PARAM_ROWS]
+            rowmask = _win_rowmask(win_off[wi], win_len[wi], chunk)
+            alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x,
+                                     alpha_min, alpha_max)
+            alpha = alpha * rowmask
+            incl = _cumprod_rows(1.0 - alpha)
+            excl = _shift_down_one(incl, 1.0)
+            t_carry = out_ref[0, 3:4, :]
+            w = t_carry * excl * alpha
+            _accumulate_rgb(out_ref, params, w, t_carry, incl)
+            if with_labels:
+                _accumulate_labels(out_ref, params, w)
+            wmax = jnp.max(w, axis=1, keepdims=True)   # (chunk, 1)
+            w_ref[h * chunk:(h + 1) * chunk, 0:1] = wmax
+            w_ref[h * chunk:(h + 1) * chunk, 1:2] = jnp.where(
+                rowmask > 0, params[:, P_GID:P_GID + 1], -1.0)
 
 
 def _bwd_win_kernel(win_tile, win_first, win_start, win_off, win_len,
-                    params_hbm, grgb_ref, d_ref, dout_ref, pbuf, psem,
-                    carry_ref, *, chunk: int, tile_size: int, tiles_x: int,
-                    alpha_min: float, alpha_max: float, early_eps: float):
+                    params_hbm, g_ref, fwd_ref, dout_ref, pbuf, psem,
+                    carry_ref, *, chunk: int, wpg: int, tile_size: int,
+                    tiles_x: int, alpha_min: float, alpha_max: float,
+                    early_eps: float):
     """Backward over windows. Writes per-kernel-row grad rows [chunk, 16]
     (disjoint per grid step — no overlap hazards); masked rows are zero.
     The instance -> gaussian reduction happens outside via the binning's
     enum_kernel_row map + an enumeration-order segment sum (no scatter-add:
-    ~4.8ms -> ~1.5ms at 206k instances on v5e)."""
-    k = pl.program_id(0)
-    t = win_tile[k]
+    ~4.8ms -> ~1.5ms at 206k instances on v5e).
 
-    @pl.when(win_first[k] == 1)
+    The per-pixel suffix seed D = C . dC + T_final . dT is computed HERE
+    from the raw cotangent block ``g_ref`` and the forward-output residual
+    ``fwd_ref`` (4 FMAs on [1, P] per window) instead of as a separate XLA
+    pass over [T, 8, P] — the strided-sublane slice+reduce cost ~1.4ms/frame
+    outside the kernel (scripts/profile_vjp_glue.py 'd seed')."""
+    g = pl.program_id(0)
+    w0 = g * wpg
+    t = win_tile[w0]
+
+    @pl.when(win_first[w0] == 1)
     def _init():
         carry_ref[0:1, :] = jnp.ones_like(carry_ref[0:1, :])
         carry_ref[1:2, :] = jnp.zeros_like(carry_ref[1:2, :])
 
-    _win_prologue(k, params_hbm, pbuf, psem, win_start, win_len, chunk)
-
-    live = win_len[k] > 0
-    if early_eps > 0:
-        live &= jnp.max(carry_ref[0:1, :]) >= early_eps
+    _win_prologue(g, params_hbm, pbuf, psem, win_start, win_len, chunk, wpg)
     dout_ref[...] = jnp.zeros_like(dout_ref)
+    buf = pbuf[jax.lax.rem(g, 2)]
 
-    @pl.when(live)
-    def _():
-        params = pbuf[jax.lax.rem(k, 2)][:, :PARAM_ROWS]
-        rowmask = _win_rowmask(win_off[k], win_len[k], chunk)
-        alpha, aux = _chunk_alphas(params, t, tile_size, tiles_x, alpha_min,
-                                   alpha_max)
-        alpha = alpha * rowmask
+    for h in range(wpg):
+        wi = w0 + h
+        live = win_len[wi] > 0
+        if early_eps > 0:
+            live &= jnp.max(carry_ref[0:1, :]) >= early_eps
 
-        incl = _cumprod_rows(1.0 - alpha)
-        excl = _shift_down_one(incl, 1.0)
-        t_carry = carry_ref[0:1, :]
-        t_excl = t_carry * excl
-        w = t_excl * alpha
+        @pl.when(live)
+        def _(h=h, wi=wi):
+            params = buf[h * chunk:(h + 1) * chunk, :PARAM_ROWS]
+            rowmask = _win_rowmask(win_off[wi], win_len[wi], chunk)
+            alpha, aux = _chunk_alphas(params, t, tile_size, tiles_x,
+                                       alpha_min, alpha_max)
+            alpha = alpha * rowmask
 
-        grgb = grgb_ref[0, :, :]
-        colors = params[:, P_R:P_B + 1]
-        cg = (colors[:, 0:1] * grgb[0:1, :]
-              + colors[:, 1:2] * grgb[1:2, :]
-              + colors[:, 2:3] * grgb[2:3, :])
-        contrib = w * cg
-        p_incl = carry_ref[1:2, :] + _cumsum_rows(contrib)
-        s = d_ref[0, :, :] - p_incl
+            incl = _cumprod_rows(1.0 - alpha)
+            excl = _shift_down_one(incl, 1.0)
+            t_carry = carry_ref[0:1, :]
+            t_excl = t_carry * excl
+            w = t_excl * alpha
 
-        # dq = -0.5 alpha dalpha with dalpha = t_excl cg - s/(1-alpha);
-        # fold alpha through: alpha t_excl cg = contrib (already computed),
-        # alpha s/(1-alpha) = s ratio — one fewer elementwise pass, and the
-        # live_px select is subsumed by `unclamped` (alpha==0 => ratio==0,
-        # contrib==0)
-        unclamped = (alpha > 0.0) & (aux["raw"] < alpha_max)
-        ratio = alpha / (1.0 - alpha)
-        dq = jnp.where(unclamped, -0.5 * (contrib - s * ratio), 0.0)
+            grgb = g_ref[0, 0:3, :]
+            d = (fwd_ref[0, 0:1, :] * grgb[0:1, :]
+                 + fwd_ref[0, 1:2, :] * grgb[1:2, :]
+                 + fwd_ref[0, 2:3, :] * grgb[2:3, :]
+                 + fwd_ref[0, 3:4, :] * g_ref[0, 3:4, :])
+            colors = params[:, P_R:P_B + 1]
+            cg = (colors[:, 0:1] * grgb[0:1, :]
+                  + colors[:, 1:2] * grgb[1:2, :]
+                  + colors[:, 2:3] * grgb[2:3, :])
+            contrib = w * cg
+            p_incl = carry_ref[1:2, :] + _cumsum_rows(contrib)
+            s = d - p_incl
 
-        dx, dy = aux["dx"], aux["dy"]
-        ca, cb, cc, op = aux["ca"], aux["cb"], aux["cc"], aux["op"]
-        t1 = dq * dx
-        t2 = dq * dy
+            # dq = -0.5 alpha dalpha with dalpha = t_excl cg - s/(1-alpha);
+            # fold alpha through: alpha t_excl cg = contrib (already
+            # computed), alpha s/(1-alpha) = s ratio — one fewer elementwise
+            # pass, and the live_px select is subsumed by `unclamped`
+            # (alpha==0 => ratio==0, contrib==0)
+            unclamped = (alpha > 0.0) & (aux["raw"] < alpha_max)
+            ratio = alpha / (1.0 - alpha)
+            dq = jnp.where(unclamped, -0.5 * (contrib - s * ratio), 0.0)
 
-        def _rsum(x):
-            return jnp.sum(x, axis=1, keepdims=True)
+            dx, dy = aux["dx"], aux["dy"]
+            ca, cb, cc, op = aux["ca"], aux["cb"], aux["cc"], aux["op"]
+            t1 = dq * dx
+            t2 = dq * dy
 
-        cx = _rsum(t1)
-        cy = _rsum(t2)
-        d_ca = _rsum(t1 * dx)
-        d_cc = _rsum(t2 * dy)
-        d_cb = 2.0 * _rsum(t1 * dy)
-        s_1 = _rsum(dq)
-        d_mx = -2.0 * ca * cx - 2.0 * cb * cy
-        d_my = -2.0 * cc * cy - 2.0 * cb * cx
-        d_op = -2.0 * s_1 / jnp.maximum(op, 1e-20)
+            def _rsum(x):
+                return jnp.sum(x, axis=1, keepdims=True)
 
-        d_col = jnp.concatenate(
-            [_rsum(w * grgb[ch:ch + 1, :]) for ch in range(3)], axis=1)
+            cx = _rsum(t1)
+            cy = _rsum(t2)
+            d_ca = _rsum(t1 * dx)
+            d_cc = _rsum(t2 * dy)
+            d_cb = 2.0 * _rsum(t1 * dy)
+            s_1 = _rsum(dq)
+            d_mx = -2.0 * ca * cx - 2.0 * cb * cy
+            d_my = -2.0 * cc * cy - 2.0 * cb * cx
+            d_op = -2.0 * s_1 / jnp.maximum(op, 1e-20)
 
-        zero = jnp.zeros_like(d_mx)
-        dout_ref[...] = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col, zero, zero,
-             zero, zero, zero, zero, zero], axis=1)
+            d_col = jnp.concatenate(
+                [_rsum(w * grgb[ch:ch + 1, :]) for ch in range(3)], axis=1)
 
-        carry_ref[0:1, :] = t_carry * incl[-1:, :]
-        carry_ref[1:2, :] = p_incl[-1:, :]
+            zero = jnp.zeros_like(d_mx)
+            dout_ref[h * chunk:(h + 1) * chunk, :] = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_col, zero, zero,
+                 zero, zero, zero, zero, zero], axis=1)
+
+            carry_ref[0:1, :] = t_carry * incl[-1:, :]
+            carry_ref[1:2, :] = p_incl[-1:, :]
 
 
 def blend_windows_fwd(params, win_tile, win_first, win_start, win_off,
-                      win_len, *, chunk, tile_size, tiles_x, num_tiles,
+                      win_len, *, chunk, wpg, tile_size, tiles_x, num_tiles,
                       alpha_min, alpha_max, with_labels, interpret,
                       early_eps):
     """Forward window blend. params: [R, 16] dense sorted instance rows
-    (R >= max(win_start) + chunk). Returns [num_tiles, 8, P]."""
+    (R >= max(win_start) + wpg*chunk). Returns [num_tiles, 8, P]. Each grid
+    step handles ``wpg`` consecutive same-tile windows (one DMA, carry
+    in-register) — the binning guarantees groups never span tiles."""
     p = tile_size * tile_size
     k_static = win_tile.shape[0]
+    assert k_static % wpg == 0, (k_static, wpg)
     kernel = functools.partial(
-        _fwd_win_kernel, chunk=chunk, tile_size=tile_size, tiles_x=tiles_x,
-        alpha_min=alpha_min, alpha_max=alpha_max, with_labels=with_labels,
-        early_eps=early_eps)
+        _fwd_win_kernel, chunk=chunk, wpg=wpg, tile_size=tile_size,
+        tiles_x=tiles_x, alpha_min=alpha_min, alpha_max=alpha_max,
+        with_labels=with_labels, early_eps=early_eps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(k_static,),
+        grid=(k_static // wpg,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 8, p), lambda k, wt, wf, ws, wo, wl:
-                               (wt[k], 0, 0), memory_space=pltpu.VMEM),
+                               (wt[k * wpg], 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, PARAM_LANES), jnp.float32),
+            pltpu.VMEM((2, wpg * chunk, PARAM_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -397,30 +431,31 @@ def blend_windows_fwd(params, win_tile, win_first, win_start, win_off,
 
 
 def blend_windows_vis(params, win_tile, win_first, win_start, win_off,
-                      win_len, *, chunk, tile_size, tiles_x, num_tiles,
+                      win_len, *, chunk, wpg, tile_size, tiles_x, num_tiles,
                       alpha_min, alpha_max, with_labels, interpret):
     """Forward window blend + per-row (max blend weight, gaussian index)
     pairs [K*chunk, 8] for the visibility vote. Not differentiable."""
     p = tile_size * tile_size
     k_static = win_tile.shape[0]
+    assert k_static % wpg == 0, (k_static, wpg)
     kernel = functools.partial(
-        _fwd_win_vis_kernel, chunk=chunk, tile_size=tile_size,
+        _fwd_win_vis_kernel, chunk=chunk, wpg=wpg, tile_size=tile_size,
         tiles_x=tiles_x, alpha_min=alpha_min, alpha_max=alpha_max,
         with_labels=with_labels)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(k_static,),
+        grid=(k_static // wpg,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((1, 8, p),
-                         lambda k, wt, wf, ws, wo, wl: (wt[k], 0, 0),
+                         lambda k, wt, wf, ws, wo, wl: (wt[k * wpg], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 8),
+            pl.BlockSpec((wpg * chunk, 8),
                          lambda k, wt, wf, ws, wo, wl: (k, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, PARAM_LANES), jnp.float32),
+            pltpu.VMEM((2, wpg * chunk, PARAM_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -436,33 +471,40 @@ def blend_windows_vis(params, win_tile, win_first, win_start, win_off,
 
 
 def blend_windows_bwd(params, win_tile, win_first, win_start, win_off,
-                      win_len, grgb, d, *, chunk, tile_size, tiles_x,
+                      win_len, g, fwd_out, *, chunk, wpg, tile_size, tiles_x,
                       num_tiles, alpha_min, alpha_max, interpret, early_eps):
-    """Backward window blend. Returns [K*chunk, 16] grad rows in kernel-row
-    order (the binning's enum_kernel_row indexes them); dead rows are
-    zero."""
+    """Backward window blend. ``g`` is the raw output cotangent [T, 8, P]
+    (rows 0-3 = dRGB, dT; label rows ignored — non-differentiable) and
+    ``fwd_out`` the forward output residual; the per-pixel suffix seed D is
+    computed in-kernel. Returns [K*chunk, 16] grad rows in kernel-row order
+    (the binning's enum_kernel_row indexes them); dead rows are zero."""
     p = tile_size * tile_size
     k_static = win_tile.shape[0]
+    assert k_static % wpg == 0, (k_static, wpg)
     kernel = functools.partial(
-        _bwd_win_kernel, chunk=chunk, tile_size=tile_size, tiles_x=tiles_x,
-        alpha_min=alpha_min, alpha_max=alpha_max, early_eps=early_eps)
+        _bwd_win_kernel, chunk=chunk, wpg=wpg, tile_size=tile_size,
+        tiles_x=tiles_x, alpha_min=alpha_min, alpha_max=alpha_max,
+        early_eps=early_eps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(k_static,),
+        grid=(k_static // wpg,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 3, p),
-                         lambda k, wt, wf, ws, wo, wl: (wt[k], 0, 0),
+            # full 8-row tile blocks: Mosaic requires sublane blocks
+            # divisible by 8 (a (1, 4, p) block fails to lower), so the
+            # backward pass fetches all 8 rows and reads rows 0..3
+            pl.BlockSpec((1, 8, p),
+                         lambda k, wt, wf, ws, wo, wl: (wt[k * wpg], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p),
-                         lambda k, wt, wf, ws, wo, wl: (wt[k], 0, 0),
+            pl.BlockSpec((1, 8, p),
+                         lambda k, wt, wf, ws, wo, wl: (wt[k * wpg], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((chunk, PARAM_ROWS),
+        out_specs=pl.BlockSpec((wpg * chunk, PARAM_ROWS),
                                lambda k, wt, wf, ws, wo, wl: (k, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, PARAM_LANES), jnp.float32),
+            pltpu.VMEM((2, wpg * chunk, PARAM_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, p), jnp.float32),
         ],
@@ -478,7 +520,7 @@ def blend_windows_bwd(params, win_tile, win_first, win_start, win_off,
             bytes_accessed=k_static * chunk * 128 + num_tiles * 32 * p,
             transcendentals=k_static * chunk * p),
         interpret=interpret,
-    )(win_tile, win_first, win_start, win_off, win_len, params, grgb, d)
+    )(win_tile, win_first, win_start, win_off, win_len, params, g, fwd_out)
 
 
 def tiles_to_image(tile_rows: jax.Array, tiles_x: int, tiles_y: int,

@@ -97,19 +97,24 @@ def depth_qkeys(depth: jax.Array, valid: jax.Array,
     return jax.lax.shift_right_logical(bits, depth_shift(num_tiles))
 
 
-def num_windows_static(kernel_budget: int, chunk: int, num_tiles: int) -> int:
-    """Static window count UPPER BOUND: every tile owns >= 1 window, the
-    per-tile proportional cap bounds total live rows by kernel_budget, and
+def num_windows_static(kernel_budget: int, chunk: int, num_tiles: int,
+                       wpg: int = 1) -> int:
+    """Static window count UPPER BOUND: every tile owns >= wpg windows, the
+    per-tile proportional cap bounds total live rows by kernel_budget,
     8-alignment of each tile's first window can add one more window per
-    tile. Callers that can measure should pass ``count_windows`` (bucketed)
-    as ``num_windows`` instead — the bound above overshoots by ~25% of grid
-    steps on typical scenes (padding windows cost ~0.45us each on v5e)."""
-    return kernel_budget // chunk + 2 * num_tiles
+    tile, and rounding each tile's window count up to a multiple of ``wpg``
+    (windows per kernel grid step) can add wpg-1 more. Callers that can
+    measure should pass ``count_windows`` (bucketed) as ``num_windows``
+    instead — the bound above overshoots by ~25% of grid steps on typical
+    scenes (padding windows cost ~0.3us each on v5e)."""
+    raw = kernel_budget // chunk + (1 + wpg) * num_tiles
+    return -(-raw // wpg) * wpg
 
 
 @functools.partial(
     jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_size", "chunk",
-                              "budget", "kernel_budget", "num_windows"))
+                              "budget", "kernel_budget", "num_windows",
+                              "wpg"))
 def bin_windows(
     proj: Projected,
     *,
@@ -120,6 +125,7 @@ def bin_windows(
     budget: int,
     kernel_budget: Optional[int] = None,
     num_windows: Optional[int] = None,
+    wpg: int = 1,
 ) -> WindowBinning:
     """Window binning (see WindowBinning). Enumeration runs in ORIGINAL
     gaussian order; depth ordering rides the quantized-depth bits of the
@@ -148,7 +154,7 @@ def bin_windows(
 
     j = jnp.arange(budget, dtype=jnp.int32)
     marks = jnp.zeros((budget,), jnp.int32).at[offsets].add(
-        1, mode="drop", indices_are_sorted=True)
+        1, mode="drop")
     g = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
     inside = j < total
 
@@ -164,7 +170,7 @@ def bin_windows(
             u, v, proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
             proj.qmax,
         ] + [jnp.zeros((n,), jnp.float32)] * 5, axis=1)   # [N, 16]
-        erow = etab.at[g].get(indices_are_sorted=True)    # [B, 16]
+        erow = etab.at[g].get(mode="clip")                # [B, 16]
         e_off = erow[:, 0].astype(jnp.int32)
         e_qd = erow[:, 4].astype(jnp.int32)
     else:
@@ -178,8 +184,8 @@ def bin_windows(
             u, v, proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
             proj.qmax,
         ] + [jnp.zeros((n,), jnp.float32)] * 5, axis=1)
-        erow = etab.at[g].get(indices_are_sorted=True)
-        e_off = offsets.at[g].get(indices_are_sorted=True)
+        erow = etab.at[g].get(mode="clip")
+        e_off = offsets.at[g].get(mode="clip")
         e_qd = erow[:, 4].astype(jnp.int32)
 
     local = j - e_off
@@ -231,25 +237,33 @@ def bin_windows(
     # lead rows; subsequent windows stay aligned. Tile t owns
     # max(ceil((lead_t + n_keep_t)/chunk), 1) consecutive windows.
     if num_windows is None:
-        k_static = num_windows_static(kernel_budget, chunk, num_tiles)
+        k_static = num_windows_static(kernel_budget, chunk, num_tiles, wpg)
     else:
-        k_static = max(num_windows, num_tiles + 1)
+        k_static = max(num_windows, (num_tiles + 1) * wpg)
+        k_static = -(-k_static // wpg) * wpg
     base_t = (tile_start // 8) * 8
     lead_t = tile_start - base_t                       # 0..7
-    nw = jnp.maximum(-(-(lead_t + n_keep) // chunk), 1)
-    # Window-count cap (binds only when the measured/bucketed num_windows
-    # undershot): shrink the multi-window tiles proportionally, shedding
-    # their deepest instances, so sum(nw) <= k_static always holds.
-    nw_total0 = jnp.sum(nw)
-    over_w = nw_total0 > k_static
+    # Per-tile window counts, rounded up to a multiple of wpg (windows per
+    # kernel grid step) so every grid GROUP's windows share one tile — the
+    # group carries compositing state between its windows in-register and
+    # issues one wpg*chunk-row DMA. The rounding only adds DEAD padding
+    # windows (win_len 0): zero extra blend compute.
+    ng = jnp.maximum(-(-(-(-(lead_t + n_keep) // chunk)) // wpg), 1)  # groups
+    # Group-count cap (binds only when the measured/bucketed num_windows
+    # undershot): shrink the multi-group tiles proportionally, shedding
+    # their deepest instances, so sum(ng) <= k_static // wpg always holds.
+    k_groups = k_static // wpg
+    ng_total0 = jnp.sum(ng)
+    over_w = ng_total0 > k_groups
     scale_w = jnp.where(
         over_w,
-        (k_static - num_tiles) / jnp.maximum(nw_total0 - num_tiles, 1), 1.0)
-    nw = jnp.where(
+        (k_groups - num_tiles) / jnp.maximum(ng_total0 - num_tiles, 1), 1.0)
+    ng = jnp.where(
         over_w,
-        1 + jnp.floor((nw - 1).astype(jnp.float32) * scale_w
+        1 + jnp.floor((ng - 1).astype(jnp.float32) * scale_w
                       ).astype(jnp.int32),
-        nw)
+        ng)
+    nw = ng * wpg
     n_keep = jnp.clip(nw * chunk - lead_t, 0, n_keep)
     num_dropped = (jnp.maximum(total - budget, 0) + jnp.sum(n_t - n_keep))
 
@@ -448,13 +462,14 @@ def count_instances_tight(proj: Projected, *, tiles_x: int, tiles_y: int,
 
 @functools.partial(
     jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_size", "chunk",
-                              "budget", "kernel_budget"))
+                              "budget", "kernel_budget", "wpg"))
 def count_windows(proj: Projected, *, tiles_x: int, tiles_y: int,
                   tile_size: int, chunk: int, budget: int,
-                  kernel_budget: int) -> jax.Array:
+                  kernel_budget: int, wpg: int = 1) -> jax.Array:
     """Exact window count bin_windows will produce (before window-shedding):
-    sum over tiles of max(ceil(n_keep/chunk), 1). Used to right-size the
-    static grid so padding windows don't burn grid steps (~0.45us each)."""
+    sum over tiles of max(ceil(n_keep/chunk), 1) rounded up per tile to a
+    multiple of ``wpg``. Used to right-size the static grid so padding
+    windows don't burn grid steps (~0.3us each)."""
     n = proj.depth.shape[0]
     num_tiles = tiles_x * tiles_y
     ts = float(tile_size)
@@ -465,7 +480,7 @@ def count_windows(proj: Projected, *, tiles_x: int, tiles_y: int,
     total = offsets[-1] + cnt[-1]
     j = jnp.arange(budget, dtype=jnp.int32)
     marks = jnp.zeros((budget,), jnp.int32).at[offsets].add(
-        1, mode="drop", indices_are_sorted=True)
+        1, mode="drop")
     g = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
     inside = j < total
     etab = jnp.stack([
@@ -474,7 +489,7 @@ def count_windows(proj: Projected, *, tiles_x: int, tiles_y: int,
         u, v, proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
         proj.qmax,
     ] + [jnp.zeros((n,), jnp.float32)] * 6, axis=1)
-    erow = etab.at[g].get(indices_are_sorted=True)
+    erow = etab.at[g].get(mode="clip")
     local = j - erow[:, 0].astype(jnp.int32)
     bw_g = erow[:, 1]
     row = jnp.floor((local.astype(jnp.float32) + 0.5) / bw_g)
@@ -498,7 +513,8 @@ def count_windows(proj: Projected, *, tiles_x: int, tiles_y: int,
     # exclusive prefix of the per-tile tight counts in the sorted stream
     tile_start = jnp.cumsum(n_t) - n_t
     lead = tile_start - (tile_start // 8) * 8
-    return jnp.sum(jnp.maximum(-(-(lead + n_keep) // chunk), 1))
+    ng = jnp.maximum(-(-(-(-(lead + n_keep) // chunk)) // wpg), 1)
+    return jnp.sum(ng) * wpg
 
 
 def bucket_budget(count: int, chunk: int, *, slack: float = 1.08,

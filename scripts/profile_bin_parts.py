@@ -95,3 +95,28 @@ timeit("scatter-ADD [B,9]->N", lambda c, r, gg: f(
                                               mode="drop")), rows16, g)
 timeit("gather [B] i32", lambda c, v, gg: f(
     v.at[gg + c.astype(jnp.int32)].get(mode="clip")), vals, g)
+
+# --- remaining bin_windows ops not yet attributed (r3.2) ---
+offs = jnp.sort(jax.random.randint(key0, (N,), 0, B, jnp.int32))
+timeit("marks scatter-add N->[B]", lambda c, o: f(
+    jnp.zeros((B,), jnp.int32).at[o].add(
+        1 + c.astype(jnp.int32) * 0, mode="drop", indices_are_sorted=True)),
+    offs)
+timeit("marks scatter-add (unsorted flag)", lambda c, o: f(
+    jnp.zeros((B,), jnp.int32).at[o].add(
+        1 + c.astype(jnp.int32) * 0, mode="drop")), offs)
+bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * (2**30 // num_tiles)
+skeys = jnp.sort(keys)
+timeit("searchsorted [B] x 476 bounds", lambda c, k, bb: f(
+    jnp.searchsorted(k, bb + c.astype(jnp.int32) * 0)), skeys, bounds)
+# full elementwise block of the enumeration (~30 ops on [B])
+def enum_elemwise(c, e):
+    local = (j - e[:, 0].astype(jnp.int32)).astype(jnp.float32) + c * 1e-30
+    bw_g = e[:, 1]
+    row = jnp.floor((local + 0.5) / bw_g)
+    col = (local - row * bw_g).astype(jnp.int32)
+    tcol = e[:, 2].astype(jnp.int32) + col
+    trow = e[:, 3].astype(jnp.int32) + row.astype(jnp.int32)
+    tile = trow * 25 + tcol
+    return f(tile)
+timeit("enum elementwise [B]", enum_elemwise, rows16)

@@ -120,7 +120,7 @@ ekr0, es0, ec0 = b0.enum_kernel_row, b0.enum_start, b0.enum_cnt
 def st_blend(c, ptab):
     out = blend_scene_windows(
         ptab + c * 1e-30, ig0, wt0, wf0, ws0, wo0, wl0, ekr0, es0, ec0,
-        cfg.tiles.chunk, cfg.raster.tile_size, tx, tx * ty,
+        cfg.tiles.chunk, cfg.tiles.wpg, cfg.raster.tile_size, tx, tx * ty,
         cfg.raster.alpha_min, cfg.raster.alpha_max, False, interpret,
         cfg.raster.early_stop_eps)
     return out[0, 0, 0] * 1e-30
@@ -130,7 +130,7 @@ def st_blend_bwd(c, ptab):
     def f(p):
         out = blend_scene_windows(
             p, ig0, wt0, wf0, ws0, wo0, wl0, ekr0, es0, ec0,
-            cfg.tiles.chunk, cfg.raster.tile_size, tx, tx * ty,
+            cfg.tiles.chunk, cfg.tiles.wpg, cfg.raster.tile_size, tx, tx * ty,
             cfg.raster.alpha_min, cfg.raster.alpha_max, False, interpret,
             cfg.raster.early_stop_eps)
         return jnp.sum(out[:, 0:3, :])

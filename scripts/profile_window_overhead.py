@@ -26,6 +26,7 @@ from gsplat_tpu.render.tiles import (bin_windows, bucket_budget,
 W, H, N = 800, 608, 100_000
 ITERS = 30
 CHUNK = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+WPG = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 cfg = Config()
 cam = look_at_camera((0.0, 0.0, -3.0), (0.0, 0.0, 0.0), width=W, height=H)
 scene = random_scene(N, seed=0, extent=1.5, scale_range=(0.004, 0.02),
@@ -40,9 +41,10 @@ tight = int(count_instances_tight(proj0, tiles_x=tx, tiles_y=ty,
                                   tile_size=ts, budget=budget))
 kb = bucket_budget(tight, CHUNK)
 b = bin_windows(proj0, tiles_x=tx, tiles_y=ty, tile_size=ts, chunk=CHUNK,
-                budget=budget, kernel_budget=kb)
+                budget=budget, kernel_budget=kb, wpg=WPG)
 ptab = jax.block_until_ready(pack_table(proj0, scene.labels))
-params = jax.block_until_ready(_window_params(ptab, b.inst_gauss, CHUNK))
+params = jax.block_until_ready(_window_params(ptab, b.inst_gauss, CHUNK,
+                                              WPG))
 k_static = b.win_tile.shape[0]
 import numpy as np
 nlive = int(np.sum(np.asarray(b.win_len) > 0))
@@ -72,20 +74,22 @@ def timeit(name, fn, *args):
 
 def fwd(c, prm, wt, wf, ws, wo, wl):
     out = blend_pallas.blend_windows_fwd(
-        prm + c * 1e-30, wt, wf, ws, wo, wl, chunk=CHUNK, tile_size=ts,
+        prm + c * 1e-30, wt, wf, ws, wo, wl, chunk=CHUNK, wpg=WPG,
+        tile_size=ts,
         tiles_x=tx, num_tiles=num_tiles, alpha_min=cfg.raster.alpha_min,
         alpha_max=cfg.raster.alpha_max, with_labels=False,
         interpret=interpret, early_eps=cfg.raster.early_stop_eps)
     return out[0, 0, 0] * 1e-30
 
 
-grgb = jnp.ones((num_tiles, 3, p), jnp.float32)
-d = jnp.ones((num_tiles, 1, p), jnp.float32)
+g_cot = jnp.ones((num_tiles, 8, p), jnp.float32)
+fwd_out = jnp.ones((num_tiles, 8, p), jnp.float32)
 
 
 def bwd(c, prm, wt, wf, ws, wo, wl):
     out = blend_pallas.blend_windows_bwd(
-        prm + c * 1e-30, wt, wf, ws, wo, wl, grgb, d, chunk=CHUNK, tile_size=ts,
+        prm + c * 1e-30, wt, wf, ws, wo, wl, g_cot, fwd_out, chunk=CHUNK,
+        wpg=WPG, tile_size=ts,
         tiles_x=tx, num_tiles=num_tiles, alpha_min=cfg.raster.alpha_min,
         alpha_max=cfg.raster.alpha_max, interpret=interpret,
         early_eps=cfg.raster.early_stop_eps)
