@@ -517,10 +517,13 @@ def count_windows(proj: Projected, *, tiles_x: int, tiles_y: int,
     return jnp.sum(ng) * wpg
 
 
-def bucket_budget(count: int, chunk: int, *, slack: float = 1.08,
-                  step: float = 1.25) -> int:
+def bucket_budget(count: int, chunk: int, *, slack: float = 1.05,
+                  step: float = 1.12) -> int:
     """Round a measured instance count up to a geometric bucket so repeated
-    renders reuse compiled programs while keeping <= ~25% budget overshoot."""
+    renders reuse compiled programs while keeping <= ~12% budget overshoot
+    (r3.2: tightened from 25% — every B-sized binning/glue op scales with
+    the bucket, worth ~0.5ms/frame on the bench scene, and the persistent
+    compilation cache absorbs the extra program variants)."""
     import math
 
     need = max(int(count * slack), chunk)
