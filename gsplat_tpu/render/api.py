@@ -55,9 +55,16 @@ def _window_params(ptab: jax.Array, inst_gauss: jax.Array,
     lane-pads a [R, 16] f32 array to 128 lanes in HBM regardless, so this
     costs no extra memory); trailing zero rows keep fixed-size wpg*chunk-row
     group fetches in bounds."""
-    dense = ptab.at[inst_gauss].get(mode="clip")       # [B, 16]
-    return jnp.pad(dense, ((0, wpg * chunk),
-                           (0, blend_pallas.PARAM_LANES - dense.shape[1])))
+    n = ptab.shape[0]
+    # Column-pad at N size (cheap, 51MB) and row-pad via out-of-bounds fill
+    # indices, so ONE [B+pad, 128] gather materializes the kernel operand —
+    # the old gather-then-pad pair wrote two 117MB physical arrays
+    # ([R, 16] f32 lane-pads to 128 in HBM regardless).
+    cpad = jnp.pad(ptab, ((0, 0),
+                          (0, blend_pallas.PARAM_LANES - ptab.shape[1])))
+    idx = jnp.concatenate([inst_gauss,
+                           jnp.full((wpg * chunk,), n, jnp.int32)])
+    return cpad.at[idx].get(mode="fill", fill_value=0.0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15,
@@ -137,12 +144,11 @@ def _blend_windows_bwd_rule(chunk, wpg, tile_size, tiles_x, num_tiles,
     # 9 vs ~0.35ms at 16) while the [B,16] cumsum costs only ~0.02ms more
     # than [B,9]; the kernel zero-fills columns 9..15, so the segment sum
     # lands directly in PARAM_ROWS layout — no trailing pad either.
-    krows = drows.shape[0]
     budget = enum_kernel_row.shape[0]
-    rows = jnp.where(
-        (enum_kernel_row < krows)[:, None],
-        drows.at[jnp.minimum(enum_kernel_row, krows - 1)].get(mode="clip"),
-        0.0)                                           # [B, 16] enum order
+    # Dropped instances carry an out-of-bounds kernel row: one fill-mode
+    # gather zeroes them (the old clip-gather + where select paid an extra
+    # [B, 16] pass).
+    rows = drows.at[enum_kernel_row].get(mode="fill", fill_value=0.0)
     cs = jnp.cumsum(rows, axis=0)
     hi = cs.at[jnp.clip(enum_start + enum_cnt - 1, 0, budget - 1)].get(
         mode="clip")
