@@ -29,6 +29,8 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from gsplat_tpu.render.projection import Projected
 
@@ -111,6 +113,74 @@ def num_windows_static(kernel_budget: int, chunk: int, num_tiles: int,
     return -(-raw // wpg) * wpg
 
 
+def _enum_key_kernel(total_ref, erow_ref, key_ref, *, ts: float,
+                     tiles_x: int, num_tiles: int, db: int, blk: int):
+    """Pallas enumeration-key kernel: one pass over the gathered per-slot
+    rows computes slot -> (tile, packed sort key) entirely in VMEM.
+
+    Rationale (r3.2 trace): doing this math in XLA materializes every
+    column of the [B, 16] gather as a separate T(1024)-layout array —
+    ~1.5 ms/frame of pure relayout at B=224k (slice_reduce + convert
+    fusions). Here ONE in-register transpose exposes the 11 fields as
+    contiguous [1, blk] rows and the whole computation (~45 elementwise
+    ops) runs at VPU speed (~0.1 ms/frame), writing only the i32 key."""
+    bj0 = pl.program_id(0) * blk
+    et = erow_ref[...].T                                  # [16, blk]
+    j = bj0 + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+    e_off = et[0:1, :].astype(jnp.int32)
+    bw_g = et[1:2, :]
+    ex0, ey0 = et[2:3, :], et[3:4, :]
+    e_qd = et[4:5, :].astype(jnp.int32)
+    # exactly the XLA-path arithmetic (f32 IEEE: bit-identical keep set)
+    local = (j - e_off).astype(jnp.float32)
+    row = jnp.floor((local + 0.5) / bw_g)
+    col = (local - row * bw_g).astype(jnp.int32)
+    tcol = ex0.astype(jnp.int32) + col
+    trow = ey0.astype(jnp.int32) + row.astype(jnp.int32)
+    tile = trow * tiles_x + tcol
+    min_q = _rect_min_q(et[5:6, :], et[6:7, :], et[7:8, :], et[8:9, :],
+                        et[9:10, :], tcol.astype(jnp.float32) * ts,
+                        trow.astype(jnp.float32) * ts, ts)
+    keep = (j < total_ref[0]) & (min_q <= et[10:11, :])
+    tile = jnp.where(keep, tile, num_tiles)
+    key = jax.lax.bitwise_or(jax.lax.shift_left(tile, db), e_qd)
+    key_ref[...] = key.reshape(blk)
+
+
+def _enum_keys(erow: jax.Array, total: jax.Array, *, ts: float,
+               tiles_x: int, num_tiles: int, db: int) -> jax.Array:
+    """[B] i32 packed (tile << db | qdepth) sort keys from the gathered
+    enumeration rows (sentinel ``num_tiles << db | qd`` for filtered/empty
+    slots). Pallas on TPU, interpret elsewhere.
+
+    Binning is non-differentiable by design (the render VJP returns zeros
+    for every binning operand, render/api.py), so tangents stop HERE —
+    pallas_call has no JVP rule for scalar-prefetch kernels and the i32
+    keys carry no gradient anyway."""
+    erow = jax.lax.stop_gradient(erow)
+    total = jax.lax.stop_gradient(total)
+    budget = erow.shape[0]
+    # Block size must be a multiple of 1024 (XLA's 1-D i32 tile, which
+    # Mosaic requires the output block to align with); the final partial
+    # block is masked by Pallas (padded reads produce sentinel keys on
+    # j >= total, and out-of-range rows are never written back).
+    blk = min(4096, -(-budget // 1024) * 1024)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(-(-budget // blk),),
+        in_specs=[pl.BlockSpec((blk, 16), lambda i, t: (i, 0))],
+        out_specs=pl.BlockSpec((blk,), lambda i, t: (i,)),
+    )
+    return pl.pallas_call(
+        functools.partial(_enum_key_kernel, ts=ts, tiles_x=tiles_x,
+                          num_tiles=num_tiles, db=db, blk=blk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((budget,), jnp.int32),
+        interpret=interpret,
+    )(total.reshape(1).astype(jnp.int32), erow)
+
+
 @functools.partial(
     jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_size", "chunk",
                               "budget", "kernel_budget", "num_windows",
@@ -154,7 +224,8 @@ def bin_windows(
 
     j = jnp.arange(budget, dtype=jnp.int32)
     marks = jnp.zeros((budget,), jnp.int32).at[offsets].add(
-        1, mode="drop")
+        1, mode="drop", indices_are_sorted=True)  # offsets monotone: XLA's
+    # sorted-scatter path skips the serial SMEM loop (~0.9ms at N=100k)
     g = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
     inside = j < total
 
@@ -171,11 +242,13 @@ def bin_windows(
             proj.qmax,
         ] + [jnp.zeros((n,), jnp.float32)] * 5, axis=1)   # [N, 16]
         erow = etab.at[g].get(mode="clip")                # [B, 16]
-        e_off = erow[:, 0].astype(jnp.int32)
-        e_qd = erow[:, 4].astype(jnp.int32)
+        # slot -> packed sort key, one Pallas pass (see _enum_key_kernel)
+        key = _enum_keys(erow, total, ts=ts, tiles_x=tiles_x,
+                         num_tiles=num_tiles, db=db)
     else:
         # f32 cannot represent offsets >= 2^24 exactly (ADVICE r1): pay an
-        # extra i32 gather on huge scenes (qd < 2^22 stays exact).
+        # extra i32 gather on huge scenes (qd < 2^22 stays exact) and keep
+        # the key math in XLA.
         etab = jnp.stack([
             jnp.zeros((n,), jnp.float32),
             jnp.maximum(bw, 1).astype(jnp.float32),
@@ -188,23 +261,23 @@ def bin_windows(
         e_off = offsets.at[g].get(mode="clip")
         e_qd = erow[:, 4].astype(jnp.int32)
 
-    local = j - e_off
-    bw_g = erow[:, 1]
-    # bbox extents are small: exact f32 reciprocal division (see r1 notes)
-    row = jnp.floor((local.astype(jnp.float32) + 0.5) / bw_g)
-    col = (local.astype(jnp.float32) - row * bw_g).astype(jnp.int32)
-    row = row.astype(jnp.int32)
-    tcol = erow[:, 2].astype(jnp.int32) + col
-    trow = erow[:, 3].astype(jnp.int32) + row
-    tile = trow * tiles_x + tcol
+        local = j - e_off
+        bw_g = erow[:, 1]
+        # bbox extents are small: exact f32 reciprocal division (r1 notes)
+        row = jnp.floor((local.astype(jnp.float32) + 0.5) / bw_g)
+        col = (local.astype(jnp.float32) - row * bw_g).astype(jnp.int32)
+        row = row.astype(jnp.int32)
+        tcol = erow[:, 2].astype(jnp.int32) + col
+        trow = erow[:, 3].astype(jnp.int32) + row
+        tile = trow * tiles_x + tcol
 
-    # --- tight filter: exact ellipse/tile-rect intersection
-    min_q = _rect_min_q(erow[:, 5], erow[:, 6], erow[:, 7], erow[:, 8],
-                        erow[:, 9], tcol.astype(jnp.float32) * ts,
-                        trow.astype(jnp.float32) * ts, ts)
-    keep = inside & (min_q <= erow[:, 10])
-    tile = jnp.where(keep, tile, num_tiles)  # sentinel tile sorts last
-    tight = jnp.sum(keep.astype(jnp.int32))
+        # --- tight filter: exact ellipse/tile-rect intersection
+        min_q = _rect_min_q(erow[:, 5], erow[:, 6], erow[:, 7], erow[:, 8],
+                            erow[:, 9], tcol.astype(jnp.float32) * ts,
+                            trow.astype(jnp.float32) * ts, ts)
+        keep = inside & (min_q <= erow[:, 10])
+        tile = jnp.where(keep, tile, num_tiles)  # sentinel sorts last
+        key = (tile << db) | e_qd
 
     # --- ONE STABLE packed-key sort: key = tile << db | qdepth. Stability
     # breaks quantized-depth ties by enumeration index (gaussian-major), so
@@ -213,7 +286,6 @@ def bin_windows(
     # index (parameter rows are gathered straight from the original-order
     # table — no [N,16] permutation gather) and the enumeration index (the
     # blend VJP segment-sums instance gradients in enumeration order).
-    key = (tile << db) | e_qd
     keys, inst_gauss, je_sorted = jax.lax.sort(
         (key, g, j), num_keys=1, is_stable=True)
     bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) << db
@@ -221,6 +293,10 @@ def bin_windows(
                                   ).astype(jnp.int32)
 
     n_t = jnp.diff(tile_start)
+    # live (non-sentinel) instance count, read off the sorted keys — the
+    # sentinel boundary is bounds[num_tiles] (replaces a separate
+    # sum-over-keep reduction)
+    tight = tile_start[num_tiles]
     tile_start = tile_start[:num_tiles]
     # Kernel-budget cap: shed each tile's DEEPEST instances proportionally
     # (suffixes of per-tile depth-ordered runs), not whole trailing tiles
@@ -409,7 +485,8 @@ def _expand_instances(u, v, extent, conic, qmax, valid, *, tiles_x, tiles_y,
     # jnp.searchsorted costs ~128ms for 1M queries on TPU, this costs ~0.2ms.
     j = jnp.arange(budget, dtype=jnp.int32)
     marks = jnp.zeros((budget,), jnp.int32).at[offsets].add(
-        1, mode="drop")  # empty gaussians stack marks at the same slot
+        1, mode="drop",  # empty gaussians stack marks at the same slot
+        indices_are_sorted=True)  # offsets monotone (cumsum of counts)
     g = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
     inside = j < total
     # ONE row gather instead of ten B-sized gathers: on TPU a B-element
@@ -480,7 +557,8 @@ def count_windows(proj: Projected, *, tiles_x: int, tiles_y: int,
     total = offsets[-1] + cnt[-1]
     j = jnp.arange(budget, dtype=jnp.int32)
     marks = jnp.zeros((budget,), jnp.int32).at[offsets].add(
-        1, mode="drop")
+        1, mode="drop", indices_are_sorted=True)  # offsets monotone: XLA's
+    # sorted-scatter path skips the serial SMEM loop (~0.9ms at N=100k)
     g = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
     inside = j < total
     etab = jnp.stack([
