@@ -46,6 +46,9 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=None,
                     help="instance budget (default: measured + bucketed)")
     ap.add_argument("--forward-only", action="store_true")
+    ap.add_argument("--repeats", type=int, default=7,
+                    help="interleaved (hi, lo) timing pairs; the JSON line "
+                         "reports their median + min/max spread")
     ap.add_argument("--tile-size", type=int, default=None)
     ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--wpg", type=int, default=None,
@@ -142,25 +145,33 @@ def main() -> None:
         float(run(scene, n))
         return time.time() - t0
 
-    # remote-tunnel RTT jitters by tens of ms AND drifts on a ~10s scale
-    # (r3 notes: identical configs measured 16.8-20.0 ms across runs with
-    # separated hi/lo batches). Interleave (hi, lo) measurement PAIRS so the
-    # slope differences each hi against an adjacent lo — pairwise
-    # differencing cancels slow drift; median over pairs kills outliers.
+    # remote-tunnel RTT jitters by tens of ms AND drifts on a ~10s scale,
+    # and chip contention drifts the rate itself by ~±30% over minutes
+    # (BASELINE.md r3.3 note). Contention-proofing (VERDICT r3 task 4):
+    # interleave (hi, lo) measurement PAIRS — the slope differences each hi
+    # against an adjacent lo, cancelling slow drift — then report the
+    # MEDIAN per-pair throughput plus the min/max spread, so the artifact
+    # carries its own error bar and back-to-back invocations agree within
+    # the reported spread.
     import statistics
 
     n_hi, n_lo = args.iters + 1, max(args.iters // 4, 1)
-    diffs = []
-    for _ in range(7):
+    per_pair_dt = []
+    for _ in range(args.repeats):
         a = timed(n_hi)
         b = timed(n_lo)
-        diffs.append(a - b)
-    dt = max(statistics.median(diffs) / (n_hi - n_lo), 1e-6)
-    mpix = args.width * args.height / dt / 1e6
+        per_pair_dt.append(max((a - b) / (n_hi - n_lo), 1e-6))
+    px_frame = args.width * args.height
+    per_pair_mpix = [px_frame / dt / 1e6 for dt in per_pair_dt]
+    dt = statistics.median(per_pair_dt)
+    mpix = statistics.median(per_pair_mpix)
+    lo_m, hi_m = min(per_pair_mpix), max(per_pair_mpix)
 
     mode = "fwd" if args.forward_only else "fwd+bwd"
     sol = _sol_mpix()
-    print(f"{mode}: {dt*1e3:.2f} ms/frame", file=sys.stderr)
+    print(f"{mode}: {dt*1e3:.2f} ms/frame (median of {args.repeats} "
+          f"interleaved pairs; spread {px_frame/hi_m/1e3:.2f}-"
+          f"{px_frame/lo_m/1e3:.2f} ms)", file=sys.stderr)
     # secondary BASELINE.md metric: (gaussian, pixel) blend evaluations/s
     ts = cfg.raster.tile_size
     pairs = args.budget * ts * ts
@@ -174,10 +185,13 @@ def main() -> None:
                   f"({args.num_gaussians} gaussians, "
                   f"{args.width}x{args.height}); vs_baseline = fraction of "
                   f"the derived blend-kernel speed-of-light "
-                  f"({sol:.1f} Mpix/s, BASELINE.md)",
+                  f"({sol:.1f} Mpix/s, BASELINE.md); median of "
+                  f"{args.repeats} interleaved timing pairs",
         "value": round(mpix, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix / sol, 4),
+        "value_median": round(mpix, 2),
+        "value_spread": [round(lo_m, 2), round(hi_m, 2)],
     }))
 
 

@@ -39,7 +39,7 @@ state = trainer.init_state(pert)
 bg = jnp.zeros(3, jnp.float32)
 for it in range(60):
     cam = CameraParams.from_camera(cams[it % 4])
-    state, loss = step(state, pert.labels, cam, targets[it % 4], bg)
+    state, loss, _ = step(state, pert.labels, cam, targets[it % 4], bg)
     if it % 15 == 0 or it == 59:
         print(f"step {it:3d}  loss {float(loss):.6f}")
 print("means error before:",

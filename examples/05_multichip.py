@@ -46,7 +46,7 @@ step = trainer.make_train_step(
     budget_per_device=8192, interpret=True)
 state = trainer.init_state(sharded)
 target = jnp.zeros((96, 128, 3))
-state, loss = step(state, sharded.labels, CameraParams.from_camera(cam),
+state, loss, _ = step(state, sharded.labels, CameraParams.from_camera(cam),
                    target, jnp.zeros(3))
 print(f"one sharded train step: loss {float(loss):.6f} "
       f"(grads reduce-scattered over the mesh)")

@@ -148,10 +148,13 @@ def _enum_key_kernel(total_ref, erow_ref, key_ref, *, ts: float,
 
 
 def _enum_keys(erow: jax.Array, total: jax.Array, *, ts: float,
-               tiles_x: int, num_tiles: int, db: int) -> jax.Array:
+               tiles_x: int, num_tiles: int, db: int,
+               interpret: Optional[bool] = None) -> jax.Array:
     """[B] i32 packed (tile << db | qdepth) sort keys from the gathered
     enumeration rows (sentinel ``num_tiles << db | qd`` for filtered/empty
-    slots). Pallas on TPU, interpret elsewhere.
+    slots). Pallas on TPU, interpret elsewhere; callers that run the blend
+    kernels in interpret mode on TPU (parity/debug) thread the same flag
+    here so the whole debug path interprets together (ADVICE r3 #1).
 
     Binning is non-differentiable by design (the render VJP returns zeros
     for every binning operand, render/api.py), so tangents stop HERE —
@@ -165,7 +168,8 @@ def _enum_keys(erow: jax.Array, total: jax.Array, *, ts: float,
     # block is masked by Pallas (padded reads produce sentinel keys on
     # j >= total, and out-of-range rows are never written back).
     blk = min(4096, -(-budget // 1024) * 1024)
-    interpret = jax.default_backend() not in ("tpu", "axon")
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(-(-budget // blk),),
@@ -184,7 +188,7 @@ def _enum_keys(erow: jax.Array, total: jax.Array, *, ts: float,
 @functools.partial(
     jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_size", "chunk",
                               "budget", "kernel_budget", "num_windows",
-                              "wpg"))
+                              "wpg", "interpret"))
 def bin_windows(
     proj: Projected,
     *,
@@ -196,6 +200,7 @@ def bin_windows(
     kernel_budget: Optional[int] = None,
     num_windows: Optional[int] = None,
     wpg: int = 1,
+    interpret: Optional[bool] = None,
 ) -> WindowBinning:
     """Window binning (see WindowBinning). Enumeration runs in ORIGINAL
     gaussian order; depth ordering rides the quantized-depth bits of the
@@ -244,7 +249,7 @@ def bin_windows(
         erow = etab.at[g].get(mode="clip")                # [B, 16]
         # slot -> packed sort key, one Pallas pass (see _enum_key_kernel)
         key = _enum_keys(erow, total, ts=ts, tiles_x=tiles_x,
-                         num_tiles=num_tiles, db=db)
+                         num_tiles=num_tiles, db=db, interpret=interpret)
     else:
         # f32 cannot represent offsets >= 2^24 exactly (ADVICE r1): pay an
         # extra i32 gather on huge scenes (qd < 2^22 stays exact) and keep

@@ -55,7 +55,7 @@ step = trainer.make_train_step(
 state = trainer.init_state(scene, lr=1e-3)
 target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
 bg = jnp.zeros(3, jnp.float32)
-state, loss = step(state, jnp.asarray(scene.labels),
+state, loss, _ = step(state, jnp.asarray(scene.labels),
                    CameraParams.from_camera(cam), target, bg)
 print("RANK%d loss=%.8f" % (rank, float(loss)), flush=True)
 """

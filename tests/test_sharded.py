@@ -80,7 +80,7 @@ def test_sharded_train_step_decreases_loss(mesh, camera):
     bg = jnp.zeros(3, jnp.float32)
     losses = []
     for _ in range(5):
-        state, loss = step(state, sharded.labels, cam, tgt, bg)
+        state, loss, _ = step(state, sharded.labels, cam, tgt, bg)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
@@ -153,7 +153,7 @@ def test_sharded_train_step_dssim(mesh, camera):
     bg = jnp.zeros(3, jnp.float32)
     losses = []
     for _ in range(5):
-        state, loss = step(state, sharded.labels, cam, tgt, bg)
+        state, loss, _ = step(state, sharded.labels, cam, tgt, bg)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
@@ -176,10 +176,10 @@ def test_single_device_train_step(camera):
         interpret=True)
     state = trainer.init_state(noisy)
     cam = CameraParams.from_camera(camera)
-    state, loss0 = step(state, noisy.labels, cam, jnp.asarray(target),
+    state, loss0, _ = step(state, noisy.labels, cam, jnp.asarray(target),
                         jnp.zeros(3))
     for _ in range(4):
-        state, loss = step(state, noisy.labels, cam, jnp.asarray(target),
+        state, loss, _ = step(state, noisy.labels, cam, jnp.asarray(target),
                            jnp.zeros(3))
     assert float(loss) < float(loss0)
 
@@ -215,7 +215,7 @@ def test_sharded_adaptive_densify(mesh, camera):
 
     losses = []
     for _ in range(3):
-        state, stats, loss = step(state, stats, labels, cam, target, bg)
+        state, stats, loss, _ = step(state, stats, labels, cam, target, bg)
         losses.append(float(loss))
     alive_before = int(dz.num_alive(state.params))
     # force densification: every alive splat is a hot candidate
@@ -229,5 +229,5 @@ def test_sharded_adaptive_densify(mesh, camera):
     # training continues on the densified (still sharded) buffers
     opt_state = trainer.zero_adam_rows(state.opt_state, written)
     state = trainer.TrainState(new_params, opt_state, state.step)
-    state, stats, loss2 = step(state, stats, labels, cam, target, bg)
+    state, stats, loss2, _ = step(state, stats, labels, cam, target, bg)
     assert float(loss2) == float(loss2)  # finite

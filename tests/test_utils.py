@@ -96,7 +96,7 @@ def test_multiview_train_step_decreases_loss():
         [CameraParams.from_camera(c) for c in cams])
     losses = []
     for _ in range(4):
-        state, loss = step(state, pert.labels, camsb, targets,
+        state, loss, _ = step(state, pert.labels, camsb, targets,
                            jnp.zeros(3))
         losses.append(float(loss))
     assert np.isfinite(losses).all()
