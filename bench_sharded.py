@@ -1,26 +1,34 @@
 """Scaling benchmark for the sharded render path (BASELINE.md "scaling
-efficiency" metric; VERDICT r2 task #4).
+efficiency" metric; VERDICT r3 tasks #1/#2).
 
 Runs on the virtual 8-device CPU mesh (no pod needed) and measures, for
-D in {1, 2, 4, 8} devices:
+D in {1, 2, 4, 8} devices under the 2D-INTERLEAVED tile lattice + the
+overlap-culled all_to_all exchange:
 
-- ``inst_max``: the max per-device BAND instance count (each device bins
-  only its horizontal tile band after the all-gather, so this is the
-  per-device binning + blend workload). Ideal scaling: total/D.
-- ``win_max``: max per-device window count (the Pallas grid size).
-- ``bin_ms``: walltime of one device's band binning program (jitted
-  ``bin_windows`` + parameter gather at the measured per-band budget) —
-  the XLA glue whose per-device cost the r2 review flagged as O(N). CPU
-  walltime, RELATIVE numbers only.
-- ``gather_mb``: all-gather receive volume per device (compact table).
+- ``inst_max``: max per-device tight instance count (the per-device blend
+  workload). Ideal: total/D. The tile lattice stratifies center-heavy
+  scenes, so this partitions near-perfectly (contiguous bands measured
+  0.72-0.74 at D=8 in r3).
+- ``win_max``: max per-device window count — the Pallas kernel grid, i.e.
+  the per-device KERNEL work.
+- ``bin_ms``: walltime of one device's per-frame glue program (exchange
+  compaction + binning + parameter gather) at the measured per-device
+  budgets. CPU walltime, RELATIVE numbers only.
+- ``exch_mb``: a2a receive volume per device (D * capacity * 64B) vs the
+  all-gather fallback's N * 64B.
 
-Efficiencies are reported against the D=1 run:
-  inst_eff = inst(1) / (D * inst_max(D))   — work-partition efficiency
-  bin_eff  = bin_ms(1) / (D * bin_ms(D))   — glue-walltime efficiency
+Efficiencies vs the D=1 run:
+  inst_eff = inst(1) / (D * inst_max(D))    — work-partition efficiency
+  win_eff  = win(1)  / (D * win_max(D))     — kernel-grid efficiency
+  bin_eff  = bin(1)  / (D * bin_ms(D))      — glue-walltime efficiency
+  step_eff — full fwd+bwd step composite: the Pallas kernels' walltime
+  scales with win_max and the glue's with bin_ms; weighting the two by the
+  REAL-TPU D=1 frame split (BASELINE.md: kernels ~9.9 ms, glue ~4.0 ms)
+  gives  step_eff = (Tk + Tg) / (D * (Tk*win_max/win1 + Tg*bin/bin1)).
+  (The Pallas kernels themselves cannot be timed here: interpret mode on
+  CPU is 1000x off; their work IS the window count.)
 
-Writes SCALING.json and prints one JSON line per D. The Pallas blend
-kernel itself is not timed here (interpret mode on CPU is not
-representative); its per-device work is proportional to ``win_max``.
+Writes SCALING.json and prints one JSON line per D.
 
 Usage: python bench_sharded.py [--num-gaussians 100000]
 """
@@ -39,6 +47,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 
+# Real-TPU D=1 frame split (BASELINE.md r3/r4): blend kernels ~9.9 ms
+# (fwd 3.7 + bwd 6.3, ~SOL), glue ~4.0 ms. Only the RATIO enters step_eff.
+TPU_KERNEL_MS = 9.9
+TPU_GLUE_MS = 4.0
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -56,11 +69,13 @@ def main() -> None:
     from gsplat_tpu.io.cameras import look_at_camera
     from gsplat_tpu.io.synthetic import random_scene
     from gsplat_tpu.parallel.render_sharded import (COMPACT_COLS,
-                                                    band_layout,
+                                                    _overlap_mask,
+                                                    _pack_compact,
+                                                    grid_layout,
                                                     measure_budgets_sharded)
     from gsplat_tpu.render.api import _window_params, pack_table
     from gsplat_tpu.render.projection import CameraParams, project
-    from gsplat_tpu.render.tiles import bin_windows, count_instances
+    from gsplat_tpu.render.tiles import bin_windows, count_instances_tight
 
     cfg = Config()
     rc, ts = cfg.raster, cfg.raster.tile_size
@@ -73,32 +88,61 @@ def main() -> None:
     proj = project(scene, camp, w, h, rc, z_near=cfg.camera.z_near,
                    z_far=cfg.camera.z_far)
     n = scene.num_gaussians
+    labels = jnp.asarray(scene.labels)
 
-    def band_time(projd, tiles_x, band_ty, budget, kb, nw):
-        """One device's binning + parameter-gather program, jitted.
-        bench.py methodology: traced iteration count (ONE compile), median
-        of 5, slope between two well-separated counts."""
+    def device_time(d, dev, dy, dx, tx_l, ty_l, budget, kb, nw, cap):
+        """One device's per-frame glue at D=d: a2a-exchange compaction of
+        its shard (the local scatter work; the collective itself is wired
+        by GSPMD) + strided binning + parameter gather. jitted; bench.py
+        methodology (traced iteration count, interleaved hi/lo slope)."""
         import statistics
 
-        ptab = pack_table(projd, jnp.asarray(scene.labels))
+        n_shard = n // d
+        shard = jax.tree.map(lambda x: x[dev * n_shard:(dev + 1) * n_shard],
+                             proj)
+        shard_compact = _pack_compact(shard, labels[dev * n_shard:
+                                                    (dev + 1) * n_shard])
+        ptab_full = pack_table(proj, labels)
+        # received set ~ the splats overlapping this device's rows; for the
+        # timing program use the first d*cap rows of the full table (same
+        # shapes/cost as the real post-exchange operand)
+        recvN = min(d * cap, n)
 
         @jax.jit
-        def run(p, pt, iters):
+        def run(p, shard_c, pt, iters):
             def body(i, c):
                 pp = p._replace(means2d=p.means2d + c * 1e-30)
-                b = bin_windows(pp, tiles_x=tiles_x, tiles_y=band_ty,
+                # exchange compaction: per-dest cull + fixed-capacity pack
+                acc = c
+                if d > 1:
+                    sc = shard_c + c * 1e-30
+                    for e in range(d):
+                        m = _overlap_mask(
+                            jax.tree.map(
+                                lambda x: x[dev * n_shard:(dev + 1) * n_shard],
+                                pp),
+                            e // dx, e % dx, dy, dx, ty_l, tx_l, float(ts))
+                        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+                        idx = jnp.where(m, pos, cap)
+                        buf = jnp.zeros((cap, COMPACT_COLS), jnp.float32
+                                        ).at[idx].set(sc, mode="drop")
+                        acc = acc + buf[0, 0] * 1e-30
+                projr = jax.tree.map(lambda x: x[:recvN], pp)
+                b = bin_windows(projr, tiles_x=tx_l, tiles_y=ty_l,
                                 tile_size=ts, chunk=cfg.tiles.chunk,
                                 budget=budget, kernel_budget=kb,
-                                num_windows=nw, wpg=cfg.tiles.wpg)
-                prm = _window_params(pt, b.inst_gauss, cfg.tiles.chunk,
-                                     cfg.tiles.wpg)
-                return (c + prm[0, 0] * 1e-30
+                                num_windows=nw, wpg=cfg.tiles.wpg,
+                                row_stride=dy, row_phase=dev // dx,
+                                col_stride=dx, col_phase=dev % dx)
+                prm = _window_params(pt[:recvN], b.inst_gauss,
+                                     cfg.tiles.chunk, cfg.tiles.wpg)
+                return (acc + prm[0, 0] * 1e-30
                         + b.win_len[0].astype(jnp.float32) * 1e-30)
             return jax.lax.fori_loop(0, iters, body, 0.0)
 
-        def timed(n):
+        def timed(k):
             t0 = time.time()
-            float(run(projd, ptab, n))
+            float(run(proj, shard_compact, ptab_full, k))
             return time.time() - t0
 
         timed(1)  # compile once (iters is traced)
@@ -109,42 +153,52 @@ def main() -> None:
 
     results = []
     for d in (1, 2, 4, 8):
-        tiles_x, _, band_ty, band_h = band_layout(w, h, ts, d)
-        budget, kb, nw = measure_budgets_sharded(
+        dy, dx, tx_l, ty_l = grid_layout(w, h, ts, d)
+        budget, kb, nw, cap = measure_budgets_sharded(
             scene, camp, width=w, height=h, cfg=cfg, num_devices=d)
-        # find the heaviest band (max per-device work) and time that device
+        # heaviest device under interleaved ownership (they are near-equal)
         inst_max, dev_heavy = -1, 0
         for dev in range(d):
-            projd = proj._replace(means2d=proj.means2d - jnp.asarray(
-                [0.0, dev * band_h], jnp.float32)[None, :])
-            c = int(count_instances(projd, tiles_x=tiles_x, tiles_y=band_ty,
-                                    tile_size=ts))
+            c = int(count_instances_tight(
+                proj, tiles_x=tx_l, tiles_y=ty_l, tile_size=ts,
+                budget=budget, row_stride=dy, row_phase=dev // dx,
+                col_stride=dx, col_phase=dev % dx))
             if c > inst_max:
                 inst_max, dev_heavy = c, dev
-        projd = proj._replace(means2d=proj.means2d - jnp.asarray(
-            [0.0, dev_heavy * band_h], jnp.float32)[None, :])
-        t_max = band_time(projd, tiles_x, band_ty, budget, kb, nw)
-        gather_mb = n * COMPACT_COLS * 4 / 1e6
+        t_max = device_time(d, dev_heavy, dy, dx, tx_l, ty_l, budget, kb,
+                            nw, cap)
+        exch_mb = (d * cap if d > 1 else n) * COMPACT_COLS * 4 / 1e6
         results.append(dict(devices=d, inst_max=inst_max,
                             budget_per_device=budget, win_max=nw,
+                            exchange_capacity=(cap if d > 1 else n),
                             bin_ms=round(t_max * 1e3, 3),
-                            gather_mb=round(gather_mb, 2)))
+                            exch_mb=round(exch_mb, 2)))
 
     base = results[0]
     for r in results:
         d = r["devices"]
         r["inst_eff"] = round(base["inst_max"] / (d * r["inst_max"]), 4)
+        r["win_eff"] = round(base["win_max"] / (d * r["win_max"]), 4)
         r["bin_eff"] = round(base["bin_ms"] / (d * r["bin_ms"]), 4)
+        t1 = TPU_KERNEL_MS + TPU_GLUE_MS
+        td = (TPU_KERNEL_MS * r["win_max"] / base["win_max"]
+              + TPU_GLUE_MS * r["bin_ms"] / base["bin_ms"])
+        r["step_eff"] = round(t1 / (d * td), 4)
         print(json.dumps(r))
 
     artifact = dict(
-        metric="per-device binning work + glue walltime vs D (CPU-relative)",
+        metric="per-device fwd+bwd step work + glue walltime vs D "
+               "(CPU-relative; 2D-interleaved tiles + a2a exchange)",
         scene=dict(num_gaussians=n, width=w, height=h),
         backend=jax.default_backend(),
         results=results,
-        note="inst_eff/bin_eff = D=1 work / (D * per-device work); blend "
-             "kernel work scales with win_max. CPU virtual mesh — relative "
-             "numbers, not absolute TPU walltime.",
+        note="inst/win/bin_eff = D=1 work / (D * per-device work|walltime). "
+             "step_eff composites kernel work (prop. to win_max) and glue "
+             f"walltime with the real-TPU D=1 split ({TPU_KERNEL_MS} ms "
+             f"kernels / {TPU_GLUE_MS} ms glue, BASELINE.md) — interpret-"
+             "mode Pallas on CPU cannot time the kernels directly. "
+             "exch_mb = per-device a2a receive volume (all-gather would be "
+             f"{round(n * COMPACT_COLS * 4 / 1e6, 1)} MB at any D).",
     )
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)

@@ -67,8 +67,8 @@ def _window_params(ptab: jax.Array, inst_gauss: jax.Array,
     return cpad.at[idx].get(mode="fill", fill_value=0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15,
-                                                    16, 17, 18, 19))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16,
+                                                    17, 18, 19, 20))
 def blend_scene_windows(
     ptab: jax.Array,            # [N, 16] params in ORIGINAL gaussian order
     inst_gauss: jax.Array,      # [B] i32 gaussian index per sorted instance
@@ -77,6 +77,7 @@ def blend_scene_windows(
     win_start: jax.Array,       # [K] i32 (8-aligned)
     win_off: jax.Array,         # [K] i32 dead lead rows (0..7)
     win_len: jax.Array,         # [K] i32
+    win_rcg: jax.Array,        # [K] i32 global (row << 16 | col) per window
     enum_kernel_row: jax.Array,  # [B] i32 grad-row per enumeration index
     enum_start: jax.Array,      # [N] i32 enumeration offsets (orig order)
     enum_cnt: jax.Array,        # [N] i32 enumeration counts (orig order)
@@ -102,25 +103,25 @@ def blend_scene_windows(
     either."""
     params = _window_params(ptab, inst_gauss, chunk, wpg)
     return blend_pallas.blend_windows_fwd(
-        params, win_tile, win_first, win_start, win_off, win_len,
+        params, win_tile, win_first, win_start, win_off, win_len, win_rcg,
         chunk=chunk, wpg=wpg, tile_size=tile_size, tiles_x=tiles_x,
         num_tiles=num_tiles, alpha_min=alpha_min, alpha_max=alpha_max,
         with_labels=with_labels, interpret=interpret, early_eps=early_eps)
 
 
 def _blend_windows_fwd_rule(ptab, inst_gauss, win_tile, win_first,
-                            win_start, win_off, win_len, enum_kernel_row,
-                            enum_start, enum_cnt, chunk, wpg, tile_size,
-                            tiles_x, num_tiles, alpha_min, alpha_max,
-                            with_labels, interpret, early_eps):
+                            win_start, win_off, win_len, win_rcg,
+                            enum_kernel_row, enum_start, enum_cnt, chunk,
+                            wpg, tile_size, tiles_x, num_tiles, alpha_min,
+                            alpha_max, with_labels, interpret, early_eps):
     params = _window_params(ptab, inst_gauss, chunk, wpg)
     out = blend_pallas.blend_windows_fwd(
-        params, win_tile, win_first, win_start, win_off, win_len,
+        params, win_tile, win_first, win_start, win_off, win_len, win_rcg,
         chunk=chunk, wpg=wpg, tile_size=tile_size, tiles_x=tiles_x,
         num_tiles=num_tiles, alpha_min=alpha_min, alpha_max=alpha_max,
         with_labels=with_labels, interpret=interpret, early_eps=early_eps)
     res = (params, inst_gauss, win_tile, win_first, win_start, win_off,
-           win_len, enum_kernel_row, enum_start, enum_cnt, out)
+           win_len, win_rcg, enum_kernel_row, enum_start, enum_cnt, out)
     return out, res
 
 
@@ -128,12 +129,13 @@ def _blend_windows_bwd_rule(chunk, wpg, tile_size, tiles_x, num_tiles,
                             alpha_min, alpha_max, with_labels, interpret,
                             early_eps, res, g):
     (params, inst_gauss, win_tile, win_first, win_start, win_off, win_len,
-     enum_kernel_row, enum_start, enum_cnt, out) = res
+     win_rcg, enum_kernel_row, enum_start, enum_cnt, out) = res
     # The per-pixel suffix seed D = C . dC + T_final . dT is computed inside
     # the backward kernel from the raw cotangent + forward residual blocks
     # (4 FMAs on [1, P] per window) — no separate XLA pass over [T, 8, P].
     drows = blend_pallas.blend_windows_bwd(
-        params, win_tile, win_first, win_start, win_off, win_len, g, out,
+        params, win_tile, win_first, win_start, win_off, win_len, win_rcg,
+        g, out,
         chunk=chunk, wpg=wpg, tile_size=tile_size, tiles_x=tiles_x,
         num_tiles=num_tiles, alpha_min=alpha_min, alpha_max=alpha_max,
         interpret=interpret, early_eps=early_eps)
@@ -158,8 +160,8 @@ def _blend_windows_bwd_rule(chunk, wpg, tile_size, tiles_x, num_tiles,
     dptab = jnp.where((enum_cnt > 0)[:, None], hi - lo, 0.0)  # [N, 16]
     zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return (dptab, zi(inst_gauss), zi(win_tile), zi(win_first),
-            zi(win_start), zi(win_off), zi(win_len), zi(enum_kernel_row),
-            zi(enum_start), zi(enum_cnt))
+            zi(win_start), zi(win_off), zi(win_len), zi(win_rcg),
+            zi(enum_kernel_row), zi(enum_start), zi(enum_cnt))
 
 
 blend_scene_windows.defvjp(_blend_windows_fwd_rule, _blend_windows_bwd_rule)
@@ -211,8 +213,8 @@ def _render_impl(
     out_tiles = blend_scene_windows(
         ptab, binning.inst_gauss, binning.win_tile,
         binning.win_first, binning.win_start, binning.win_off,
-        binning.win_len, binning.enum_kernel_row, binning.enum_start,
-        binning.enum_cnt,
+        binning.win_len, binning.win_rcg, binning.enum_kernel_row,
+        binning.enum_start, binning.enum_cnt,
         cfg.tiles.chunk, cfg.tiles.wpg, rc.tile_size, tiles_x,
         tiles_x * tiles_y, rc.alpha_min, rc.alpha_max, with_labels,
         interpret, rc.early_stop_eps)
@@ -267,7 +269,8 @@ def _render_vis_impl(
                             cfg.tiles.wpg)
     out_tiles, wrows = blend_pallas.blend_windows_vis(
         params, binning.win_tile, binning.win_first, binning.win_start,
-        binning.win_off, binning.win_len, chunk=cfg.tiles.chunk,
+        binning.win_off, binning.win_len, binning.win_rcg,
+        chunk=cfg.tiles.chunk,
         wpg=cfg.tiles.wpg, tile_size=rc.tile_size, tiles_x=tiles_x,
         num_tiles=tiles_x * tiles_y, alpha_min=rc.alpha_min,
         alpha_max=rc.alpha_max, with_labels=with_labels,

@@ -89,17 +89,21 @@ def _pixel_coords(tile_size: int):
     return px, py
 
 
-def _chunk_alphas(params, t, tile_size: int, tiles_x: int,
+def _chunk_alphas(params, rcg, tile_size: int, tiles_x: int,
                   alpha_min: float, alpha_max: float):
     """Shared forward math: per-(gaussian, pixel) alphas for one chunk.
 
     params: [(chunk, 16)] block. Returns (alpha [(chunk, P)], aux dict).
+    ``rcg`` is the tile's GLOBAL (row << 16 | col) — it differs from the
+    local tile id's decode under the sharded renderer's 2D-interleaved
+    tile ownership; the quadratic form runs in global pixel coordinates
+    and the instance means are never shifted.
     The quadratic form runs on the VPU (broadcast FMAs in tile-local f32),
     not the MXU — the K=8 monomial contraction is far too skinny to feed the
     systolic array efficiently.
     """
-    x0 = (t % tiles_x) * tile_size
-    y0 = (t // tiles_x) * tile_size
+    x0 = jax.lax.bitwise_and(rcg, 0xFFFF) * tile_size
+    y0 = jax.lax.shift_right_logical(rcg, 16) * tile_size
     mx = params[:, P_MX:P_MX + 1] - x0.astype(jnp.float32)
     my = params[:, P_MY:P_MY + 1] - y0.astype(jnp.float32)
     ca = params[:, P_CA:P_CA + 1]
@@ -204,12 +208,13 @@ def _win_prologue(g, params_hbm, pbuf, psem, win_start, win_len, chunk: int,
 
 
 def _fwd_win_kernel(win_tile, win_first, win_start, win_off, win_len,
-                    params_hbm, out_ref, pbuf, psem, *, chunk: int, wpg: int,
+                    win_rcg, params_hbm, out_ref, pbuf, psem, *, chunk: int, wpg: int,
                     tile_size: int, tiles_x: int, alpha_min: float,
                     alpha_max: float, with_labels: bool, early_eps: float):
     g = pl.program_id(0)
     w0 = g * wpg
     t = win_tile[w0]
+    rcg = win_rcg[w0]
 
     @pl.when(win_first[w0] == 1)
     def _init():
@@ -231,7 +236,7 @@ def _fwd_win_kernel(win_tile, win_first, win_start, win_off, win_len,
         @pl.when(live)
         def _compute(h=h, wi=wi, t_carry=t_carry):
             params = buf[h * chunk:(h + 1) * chunk, :PARAM_ROWS]
-            alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x,
+            alpha, _ = _chunk_alphas(params, rcg, tile_size, tiles_x,
                                      alpha_min, alpha_max)
             alpha = alpha * _win_rowmask(win_off[wi], win_len[wi], chunk)
             incl = _cumprod_rows(1.0 - alpha)
@@ -243,7 +248,7 @@ def _fwd_win_kernel(win_tile, win_first, win_start, win_off, win_len,
 
 
 def _fwd_win_vis_kernel(win_tile, win_first, win_start, win_off, win_len,
-                        params_hbm, out_ref, w_ref, pbuf, psem, *, chunk: int,
+                        win_rcg, params_hbm, out_ref, w_ref, pbuf, psem, *, chunk: int,
                         wpg: int, tile_size: int, tiles_x: int,
                         alpha_min: float, alpha_max: float,
                         with_labels: bool):
@@ -254,6 +259,7 @@ def _fwd_win_vis_kernel(win_tile, win_first, win_start, win_off, win_len,
     g = pl.program_id(0)
     w0 = g * wpg
     t = win_tile[w0]
+    rcg = win_rcg[w0]
 
     @pl.when(win_first[w0] == 1)
     def _init():
@@ -274,7 +280,7 @@ def _fwd_win_vis_kernel(win_tile, win_first, win_start, win_off, win_len,
         def _compute(h=h, wi=wi):
             params = buf[h * chunk:(h + 1) * chunk, :PARAM_ROWS]
             rowmask = _win_rowmask(win_off[wi], win_len[wi], chunk)
-            alpha, _ = _chunk_alphas(params, t, tile_size, tiles_x,
+            alpha, _ = _chunk_alphas(params, rcg, tile_size, tiles_x,
                                      alpha_min, alpha_max)
             alpha = alpha * rowmask
             incl = _cumprod_rows(1.0 - alpha)
@@ -291,7 +297,7 @@ def _fwd_win_vis_kernel(win_tile, win_first, win_start, win_off, win_len,
 
 
 def _bwd_win_kernel(win_tile, win_first, win_start, win_off, win_len,
-                    params_hbm, g_ref, fwd_ref, dout_ref, pbuf, psem,
+                    win_rcg, params_hbm, g_ref, fwd_ref, dout_ref, pbuf, psem,
                     carry_ref, *, chunk: int, wpg: int, tile_size: int,
                     tiles_x: int, alpha_min: float, alpha_max: float,
                     early_eps: float):
@@ -309,6 +315,7 @@ def _bwd_win_kernel(win_tile, win_first, win_start, win_off, win_len,
     g = pl.program_id(0)
     w0 = g * wpg
     t = win_tile[w0]
+    rcg = win_rcg[w0]
 
     @pl.when(win_first[w0] == 1)
     def _init():
@@ -329,7 +336,7 @@ def _bwd_win_kernel(win_tile, win_first, win_start, win_off, win_len,
         def _(h=h, wi=wi):
             params = buf[h * chunk:(h + 1) * chunk, :PARAM_ROWS]
             rowmask = _win_rowmask(win_off[wi], win_len[wi], chunk)
-            alpha, aux = _chunk_alphas(params, t, tile_size, tiles_x,
+            alpha, aux = _chunk_alphas(params, rcg, tile_size, tiles_x,
                                        alpha_min, alpha_max)
             alpha = alpha * rowmask
 
@@ -392,7 +399,7 @@ def _bwd_win_kernel(win_tile, win_first, win_start, win_off, win_len,
 
 
 def blend_windows_fwd(params, win_tile, win_first, win_start, win_off,
-                      win_len, *, chunk, wpg, tile_size, tiles_x, num_tiles,
+                      win_len, win_rcg, *, chunk, wpg, tile_size, tiles_x, num_tiles,
                       alpha_min, alpha_max, with_labels, interpret,
                       early_eps):
     """Forward window blend. params: [R, 16] dense sorted instance rows
@@ -407,10 +414,10 @@ def blend_windows_fwd(params, win_tile, win_first, win_start, win_off,
         tiles_x=tiles_x, alpha_min=alpha_min, alpha_max=alpha_max,
         with_labels=with_labels, early_eps=early_eps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(k_static // wpg,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 8, p), lambda k, wt, wf, ws, wo, wl:
+        out_specs=pl.BlockSpec((1, 8, p), lambda k, wt, wf, ws, wo, wl, wrg:
                                (wt[k * wpg], 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, wpg * chunk, PARAM_LANES), jnp.float32),
@@ -427,11 +434,11 @@ def blend_windows_fwd(params, win_tile, win_first, win_start, win_off,
             bytes_accessed=k_static * chunk * 64 + num_tiles * 32 * p,
             transcendentals=k_static * chunk * p),
         interpret=interpret,
-    )(win_tile, win_first, win_start, win_off, win_len, params)
+    )(win_tile, win_first, win_start, win_off, win_len, win_rcg, params)
 
 
 def blend_windows_vis(params, win_tile, win_first, win_start, win_off,
-                      win_len, *, chunk, wpg, tile_size, tiles_x, num_tiles,
+                      win_len, win_rcg, *, chunk, wpg, tile_size, tiles_x, num_tiles,
                       alpha_min, alpha_max, with_labels, interpret):
     """Forward window blend + per-row (max blend weight, gaussian index)
     pairs [K*chunk, 8] for the visibility vote. Not differentiable."""
@@ -443,15 +450,15 @@ def blend_windows_vis(params, win_tile, win_first, win_start, win_off,
         tiles_x=tiles_x, alpha_min=alpha_min, alpha_max=alpha_max,
         with_labels=with_labels)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(k_static // wpg,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((1, 8, p),
-                         lambda k, wt, wf, ws, wo, wl: (wt[k * wpg], 0, 0),
+                         lambda k, wt, wf, ws, wo, wl, wrg: (wt[k * wpg], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wpg * chunk, 8),
-                         lambda k, wt, wf, ws, wo, wl: (k, 0),
+                         lambda k, wt, wf, ws, wo, wl, wrg: (k, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -467,11 +474,11 @@ def blend_windows_vis(params, win_tile, win_first, win_start, win_off,
             jax.ShapeDtypeStruct((k_static * chunk, 8), jnp.float32),
         ),
         interpret=interpret,
-    )(win_tile, win_first, win_start, win_off, win_len, params)
+    )(win_tile, win_first, win_start, win_off, win_len, win_rcg, params)
 
 
 def blend_windows_bwd(params, win_tile, win_first, win_start, win_off,
-                      win_len, g, fwd_out, *, chunk, wpg, tile_size, tiles_x,
+                      win_len, win_rcg, g, fwd_out, *, chunk, wpg, tile_size, tiles_x,
                       num_tiles, alpha_min, alpha_max, interpret, early_eps):
     """Backward window blend. ``g`` is the raw output cotangent [T, 8, P]
     (rows 0-3 = dRGB, dT; label rows ignored — non-differentiable) and
@@ -486,7 +493,7 @@ def blend_windows_bwd(params, win_tile, win_first, win_start, win_off,
         tiles_x=tiles_x, alpha_min=alpha_min, alpha_max=alpha_max,
         early_eps=early_eps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(k_static // wpg,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -494,14 +501,14 @@ def blend_windows_bwd(params, win_tile, win_first, win_start, win_off,
             # divisible by 8 (a (1, 4, p) block fails to lower), so the
             # backward pass fetches all 8 rows and reads rows 0..3
             pl.BlockSpec((1, 8, p),
-                         lambda k, wt, wf, ws, wo, wl: (wt[k * wpg], 0, 0),
+                         lambda k, wt, wf, ws, wo, wl, wrg: (wt[k * wpg], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, p),
-                         lambda k, wt, wf, ws, wo, wl: (wt[k * wpg], 0, 0),
+                         lambda k, wt, wf, ws, wo, wl, wrg: (wt[k * wpg], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((wpg * chunk, PARAM_ROWS),
-                               lambda k, wt, wf, ws, wo, wl: (k, 0),
+                               lambda k, wt, wf, ws, wo, wl, wrg: (k, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, wpg * chunk, PARAM_LANES), jnp.float32),
@@ -520,7 +527,8 @@ def blend_windows_bwd(params, win_tile, win_first, win_start, win_off,
             bytes_accessed=k_static * chunk * 128 + num_tiles * 32 * p,
             transcendentals=k_static * chunk * p),
         interpret=interpret,
-    )(win_tile, win_first, win_start, win_off, win_len, params, g, fwd_out)
+    )(win_tile, win_first, win_start, win_off, win_len, win_rcg, params, g,
+  fwd_out)
 
 
 def tiles_to_image(tile_rows: jax.Array, tiles_x: int, tiles_y: int,

@@ -1,0 +1,195 @@
+"""Per-device memory audit of the band-culled sharded exchange at scale.
+
+VERDICT r3 missing #1 "done" criterion: render-path sharding of an N=2M
+synthetic scene on the 8-device virtual CPU mesh with per-device live
+arrays measured at O(N/D + overlap) — against the r3 all-gather path whose
+per-device footprint was O(N) (full [N, 16] compact table + full-N
+pack_table on every device; reference analogue: the worker ships the WHOLE
+buffer, gaussians_selection.js:356).
+
+This script:
+1. measures the real a2a exchange capacity for the scene (max splats any
+   source shard sends any destination),
+2. RUNS the exchange + strided binning shard_map program at N=2M on the
+   8-device mesh (the Pallas blend itself is excluded: interpret mode on
+   CPU is ~1000x off at this scale; its operand sizes are audited below
+   and the full blend path is exercised by tests/test_sharded.py),
+3. audits every per-device live array of the a2a render path vs the
+   all-gather fallback, and writes EXCHANGE.json.
+
+Usage: python scripts/audit_sharded_memory.py [--num-gaussians 2000000]
+"""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-gaussians", type=int, default=2_000_000)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=608)
+    ap.add_argument("--out", default="EXCHANGE.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from gsplat_tpu.config import Config
+    from gsplat_tpu.io.cameras import look_at_camera
+    from gsplat_tpu.io.synthetic import random_scene
+    from gsplat_tpu.parallel import mesh as mesh_lib
+    from gsplat_tpu.parallel.mesh import AXES
+    from gsplat_tpu.parallel.render_sharded import (
+        COMPACT_COLS, _overlap_mask, _pack_compact, grid_layout,
+        measure_budgets_sharded)
+    from gsplat_tpu.render.api import _window_params, pack_table
+    from gsplat_tpu.render.blend_pallas import PARAM_LANES
+    from gsplat_tpu.render.projection import CameraParams, project
+    from gsplat_tpu.render.tiles import bin_windows, count_instances_tight
+
+    cfg = Config()
+    rc, ts = cfg.raster, cfg.raster.tile_size
+    w, h = args.width, args.height
+    d = 8
+    mesh = mesh_lib.make_mesh((2, 4))
+    print(f"scene: {args.num_gaussians} gaussians, {w}x{h}, D={d}",
+          file=sys.stderr)
+    scene = random_scene(args.num_gaussians, seed=0, extent=1.5,
+                         scale_range=(0.002, 0.008), num_labels=16)
+    cam = look_at_camera((0.0, 0.0, -3.0), (0.0, 0.0, 0.0), width=w,
+                         height=h)
+    camp = CameraParams.from_camera(cam)
+    n = scene.num_gaussians
+    n_shard = n // d
+
+    budget, kb, nw, cap = measure_budgets_sharded(
+        scene, camp, width=w, height=h, cfg=cfg, num_devices=d)
+    dy, dx, tx_l, ty_l = grid_layout(w, h, ts, d)
+    print(f"budgets: per-device budget={budget} kernel={kb} windows={nw} "
+          f"exchange_capacity={cap}", file=sys.stderr)
+
+    # --- run the exchange + strided binning at full scale on the mesh ----
+    sharded = mesh_lib.shard_scene(scene, mesh)
+
+    def shard_fn(scene_shard):
+        proj = project(scene_shard, camp, w, h, rc,
+                       z_near=cfg.camera.z_near, z_far=cfg.camera.z_far)
+        compact = _pack_compact(proj, scene_shard.labels)
+        dev = jax.lax.axis_index(AXES)
+        py, px = dev // dx, dev % dx
+        bufs, overflow = [], jnp.zeros((), jnp.int32)
+        for e in range(d):
+            m = _overlap_mask(proj, e // dx, e % dx, dy, dx, ty_l, tx_l,
+                              float(ts))
+            pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+            idx = jnp.where(m, pos, cap)
+            bufs.append(jnp.zeros((cap, COMPACT_COLS), jnp.float32
+                                  ).at[idx].set(compact, mode="drop"))
+            overflow += jnp.maximum(jnp.sum(m.astype(jnp.int32)) - cap, 0)
+        recv = jax.lax.all_to_all(jnp.stack(bufs), AXES, split_axis=0,
+                                  concat_axis=0).reshape(d * cap,
+                                                         COMPACT_COLS)
+        from gsplat_tpu.parallel.render_sharded import _unpack_compact
+        projf = _unpack_compact(recv)
+        binning = bin_windows(
+            projf, tiles_x=tx_l, tiles_y=ty_l, tile_size=ts,
+            chunk=cfg.tiles.chunk, budget=budget, kernel_budget=kb,
+            num_windows=nw, wpg=cfg.tiles.wpg, row_stride=dy, row_phase=py,
+            col_stride=dx, col_phase=px)
+        return (binning.num_instances.reshape(1),
+                jax.lax.psum(overflow, AXES).reshape(1),
+                binning.num_dropped.reshape(1))
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(AXES),),
+                   out_specs=(P(AXES), P(), P(AXES)), check_vma=False)
+    inst, overflow, dropped = fn(sharded)
+    inst = [int(x) for x in inst]
+    print(f"per-device tight instances (on-mesh): {inst}", file=sys.stderr)
+    print(f"exchange overflow: {int(overflow[0])}  binning dropped: "
+          f"{[int(x) for x in dropped]}", file=sys.stderr)
+    assert int(overflow[0]) == 0, "measured capacity must not overflow"
+
+    # cross-check vs the host-side strided counts on the FULL projection:
+    # the culled exchange must deliver every splat the device's rows need
+    proj_full = project(scene, camp, w, h, rc, z_near=cfg.camera.z_near,
+                        z_far=cfg.camera.z_far)
+    for dev in range(d):
+        expect = int(count_instances_tight(
+            proj_full, tiles_x=tx_l, tiles_y=ty_l, tile_size=ts,
+            budget=budget, row_stride=dy, row_phase=dev // dx,
+            col_stride=dx, col_phase=dev % dx))
+        assert inst[dev] == expect, (dev, inst[dev], expect)
+    print("on-mesh tight counts match full-projection strided counts",
+          file=sys.stderr)
+
+    # --- per-device live-array audit (bytes, f32) ------------------------
+    def mb(rows, cols):
+        return rows * cols * 4 / 1e6
+
+    a2a = {
+        "scene_shard [N/D, 59]": mb(n_shard, 59),
+        "projected shard [N/D, 16]": mb(n_shard, COMPACT_COLS),
+        "exchange send bufs [D, cap, 16]": mb(d * cap, COMPACT_COLS),
+        "received splats [D*cap, 16]": mb(d * cap, COMPACT_COLS),
+        "pack_table [D*cap, 16]": mb(d * cap, 16),
+        f"window params [budget+pad, {PARAM_LANES}]": mb(
+            budget + cfg.tiles.chunk * cfg.tiles.wpg, PARAM_LANES),
+        "binning streams [budget] x ~4": mb(budget, 4),
+    }
+    ag = {
+        "scene_shard [N/D, 59]": mb(n_shard, 59),
+        "projected shard [N/D, 16]": mb(n_shard, COMPACT_COLS),
+        "all-gathered table [N, 16]": mb(n, COMPACT_COLS),
+        "pack_table [N, 16]": mb(n, 16),
+        f"window params [budget+pad, {PARAM_LANES}]": mb(
+            budget + cfg.tiles.chunk * cfg.tiles.wpg, PARAM_LANES),
+        "binning streams [budget] x ~4": mb(budget, 4),
+    }
+    tot_a2a, tot_ag = sum(a2a.values()), sum(ag.values())
+    for k, v in a2a.items():
+        print(f"  a2a  {k}: {v:8.1f} MB", file=sys.stderr)
+    print(f"  a2a TOTAL: {tot_a2a:.1f} MB  vs all_gather TOTAL: "
+          f"{tot_ag:.1f} MB  ({tot_ag / tot_a2a:.1f}x)", file=sys.stderr)
+
+    artifact = dict(
+        metric="per-device live-array footprint of the sharded render "
+               "(a2a band-culled exchange vs all-gather fallback)",
+        scene=dict(num_gaussians=n, width=w, height=h, devices=d),
+        budgets=dict(budget=budget, kernel_budget=kb, num_windows=nw,
+                     exchange_capacity=cap),
+        per_device_tight_instances=inst,
+        exchange_overflow=int(overflow[0]),
+        a2a_mb={k: round(v, 2) for k, v in a2a.items()},
+        all_gather_mb={k: round(v, 2) for k, v in ag.items()},
+        a2a_total_mb=round(tot_a2a, 1),
+        all_gather_total_mb=round(tot_ag, 1),
+        reduction=round(tot_ag / tot_a2a, 2),
+        note="a2a per-device memory is O(N/D + overlap): the received set "
+             "is D*capacity rows where capacity is the max (source, dest) "
+             "row-overlap count — not O(N). The exchange + strided binning "
+             "ran at full scale on the 8-device virtual mesh (counts above "
+             "verified against the full projection); the Pallas blend "
+             "operands are the budget-sized arrays audited here and the "
+             "full blend path is covered by tests/test_sharded.py. "
+             "Reference analogue: gaussians_selection.js:356 ships the "
+             "whole buffer.",
+    )
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -111,15 +111,16 @@ b0 = bin_windows(proj0, tiles_x=tx, tiles_y=ty,
                  tile_size=cfg.raster.tile_size, chunk=cfg.tiles.chunk,
                  budget=budget)
 ptab0 = jax.block_until_ready(pack_table(proj0, scene.labels))
-wt0, wf0, ws0, wo0, wl0 = (b0.win_tile, b0.win_first, b0.win_start,
-                           b0.win_off, b0.win_len)
+wt0, wf0, ws0, wo0, wl0, wr0 = (b0.win_tile, b0.win_first, b0.win_start,
+                                b0.win_off, b0.win_len, b0.win_rcg)
 ig0 = b0.inst_gauss
 ekr0, es0, ec0 = b0.enum_kernel_row, b0.enum_start, b0.enum_cnt
 
 
 def st_blend(c, ptab):
     out = blend_scene_windows(
-        ptab + c * 1e-30, ig0, wt0, wf0, ws0, wo0, wl0, ekr0, es0, ec0,
+        ptab + c * 1e-30, ig0, wt0, wf0, ws0, wo0, wl0, wr0, ekr0, es0,
+        ec0,
         cfg.tiles.chunk, cfg.tiles.wpg, cfg.raster.tile_size, tx, tx * ty,
         cfg.raster.alpha_min, cfg.raster.alpha_max, False, interpret,
         cfg.raster.early_stop_eps)
@@ -129,7 +130,7 @@ def st_blend(c, ptab):
 def st_blend_bwd(c, ptab):
     def f(p):
         out = blend_scene_windows(
-            p, ig0, wt0, wf0, ws0, wo0, wl0, ekr0, es0, ec0,
+            p, ig0, wt0, wf0, ws0, wo0, wl0, wr0, ekr0, es0, ec0,
             cfg.tiles.chunk, cfg.tiles.wpg, cfg.raster.tile_size, tx, tx * ty,
             cfg.raster.alpha_min, cfg.raster.alpha_max, False, interpret,
             cfg.raster.early_stop_eps)

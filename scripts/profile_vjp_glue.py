@@ -144,7 +144,8 @@ timeit("pack_table [N,16]",
 def bwd_kernel(params, g_cot, fwd_out):
     return blend_pallas.blend_windows_bwd(
         params, binning.win_tile, binning.win_first, binning.win_start,
-        binning.win_off, binning.win_len, g_cot, fwd_out, chunk=chunk,
+        binning.win_off, binning.win_len, binning.win_rcg, g_cot,
+        fwd_out, chunk=chunk,
         wpg=cfg.tiles.wpg, tile_size=rc.tile_size, tiles_x=tiles_x, num_tiles=num_tiles,
         alpha_min=rc.alpha_min, alpha_max=rc.alpha_max, interpret=False,
         early_eps=rc.early_stop_eps)
@@ -157,7 +158,8 @@ timeit("bwd kernel alone", bwd_kernel, params, g_cot, fwd_out)
 def fwd_kernel(params):
     return blend_pallas.blend_windows_fwd(
         params, binning.win_tile, binning.win_first, binning.win_start,
-        binning.win_off, binning.win_len, chunk=chunk, wpg=cfg.tiles.wpg,
+        binning.win_off, binning.win_len, binning.win_rcg, chunk=chunk,
+        wpg=cfg.tiles.wpg,
         tile_size=rc.tile_size, tiles_x=tiles_x, num_tiles=num_tiles,
         alpha_min=rc.alpha_min, alpha_max=rc.alpha_max, with_labels=False,
         interpret=False, early_eps=rc.early_stop_eps)

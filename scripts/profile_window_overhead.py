@@ -74,7 +74,7 @@ def timeit(name, fn, *args):
 
 def fwd(c, prm, wt, wf, ws, wo, wl):
     out = blend_pallas.blend_windows_fwd(
-        prm + c * 1e-30, wt, wf, ws, wo, wl, chunk=CHUNK, wpg=WPG,
+        prm + c * 1e-30, wt, wf, ws, wo, wl, b.win_rcg, chunk=CHUNK, wpg=WPG,
         tile_size=ts,
         tiles_x=tx, num_tiles=num_tiles, alpha_min=cfg.raster.alpha_min,
         alpha_max=cfg.raster.alpha_max, with_labels=False,
@@ -88,7 +88,8 @@ fwd_out = jnp.ones((num_tiles, 8, p), jnp.float32)
 
 def bwd(c, prm, wt, wf, ws, wo, wl):
     out = blend_pallas.blend_windows_bwd(
-        prm + c * 1e-30, wt, wf, ws, wo, wl, g_cot, fwd_out, chunk=CHUNK,
+        prm + c * 1e-30, wt, wf, ws, wo, wl, b.win_rcg, g_cot, fwd_out,
+        chunk=CHUNK,
         wpg=WPG, tile_size=ts,
         tiles_x=tx, num_tiles=num_tiles, alpha_min=cfg.raster.alpha_min,
         alpha_max=cfg.raster.alpha_max, interpret=interpret,
