@@ -26,6 +26,9 @@ def main(argv=None) -> int:
                     help="random-init size when --init_ply is absent")
     ap.add_argument("--iters", type=int, default=500)
     ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--lr_final", type=float, default=None,
+                    help="exponential lr decay target over --iters "
+                         "(3DGS-style position schedule)")
     ap.add_argument("--scale", type=float, default=0.25,
                     help="resolution scale on camera intrinsics")
     ap.add_argument("--budget_factor", type=float, default=8.0)
@@ -123,24 +126,30 @@ def main(argv=None) -> int:
             # + GSPMD partition it over the sharded buffers (capacity is a
             # 128-multiple, so any power-of-two mesh divides it)
             step = trainer.make_adaptive_train_step(
-                (w, h), DEFAULT, lr=args.lr, budget=budget, mesh=mesh,
+                (w, h), DEFAULT, lr=args.lr, lr_final=args.lr_final,
+                decay_steps=args.iters, budget=budget, mesh=mesh,
                 budget_per_device=bpd, loss=args.loss)
         else:
             step = trainer.make_train_step(
-                (w, h), DEFAULT, lr=args.lr, budget=budget, mesh=mesh,
+                (w, h), DEFAULT, lr=args.lr, lr_final=args.lr_final,
+                decay_steps=args.iters, budget=budget, mesh=mesh,
                 budget_per_device=bpd, loss=args.loss)
     elif adaptive:
         step = trainer.make_adaptive_train_step(
-            (w, h), DEFAULT, lr=args.lr, budget=budget, loss=args.loss)
+            (w, h), DEFAULT, lr=args.lr, lr_final=args.lr_final,
+            decay_steps=args.iters, budget=budget, loss=args.loss)
     else:
-        step = trainer.make_train_step((w, h), DEFAULT, lr=args.lr,
-                                       budget=budget, loss=args.loss)
+        step = trainer.make_train_step(
+            (w, h), DEFAULT, lr=args.lr, lr_final=args.lr_final,
+            decay_steps=args.iters, budget=budget, loss=args.loss)
     if adaptive:
         stats = dz.DensifyStats.zeros(scene.num_gaussians)
         densify_until = (args.densify_until if args.densify_until is not None
                          else args.iters // 2)
         key = jax.random.PRNGKey(0)
-    state = trainer.init_state(scene, lr=args.lr)
+    state = trainer.init_state(scene, lr=args.lr,
+                               lr_final=args.lr_final,
+                               decay_steps=args.iters)
     labels = jnp.asarray(scene.labels)
     start = 0
     # The adaptive path checkpoints everything densify mutates (labels,

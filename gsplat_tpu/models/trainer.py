@@ -51,23 +51,39 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def scaled_adam(lr: float = 1e-2) -> optax.GradientTransformation:
-    """Adam with per-field lr scaling (LR_SCALES)."""
+def scaled_adam(lr: float = 1e-2, *, lr_final: Optional[float] = None,
+                decay_steps: Optional[int] = None
+                ) -> optax.GradientTransformation:
+    """Adam with per-field lr scaling (LR_SCALES).
+
+    With ``lr_final``/``decay_steps``, the rate decays exponentially from
+    ``lr`` to ``lr_final`` over ``decay_steps`` (the standard 3DGS
+    position-lr schedule — without decay, optimization stalls at a high
+    loss floor once splats are near their targets)."""
     def scale_tree(updates, state, params=None):
         del params
         scaled = SceneParams(*[
             u * LR_SCALES[f] for f, u in zip(SceneParams._fields, updates)])
         return scaled, state
+    if lr_final is not None and decay_steps:
+        def sched(step):
+            t = jnp.clip(step / decay_steps, 0.0, 1.0)
+            return -lr * (lr_final / lr) ** t
+        last = optax.scale_by_schedule(sched)
+    else:
+        last = optax.scale(-lr)
     return optax.chain(
         optax.scale_by_adam(),
         optax.GradientTransformation(lambda _: optax.EmptyState(), scale_tree),
-        optax.scale(-lr),
+        last,
     )
 
 
-def init_state(scene: GaussianScene, lr: float = 1e-2) -> TrainState:
+def init_state(scene: GaussianScene, lr: float = 1e-2,
+               lr_final: Optional[float] = None,
+               decay_steps: Optional[int] = None) -> TrainState:
     params = SceneParams.from_scene(scene)
-    opt = scaled_adam(lr)
+    opt = scaled_adam(lr, lr_final=lr_final, decay_steps=decay_steps)
     return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
 
@@ -120,6 +136,8 @@ def make_train_step(
     cfg: Config = DEFAULT,
     *,
     lr: float = 1e-2,
+    lr_final: Optional[float] = None,
+    decay_steps: Optional[int] = None,
     budget: int,
     mesh: Optional[Mesh] = None,
     budget_per_device: Optional[int] = None,
@@ -141,7 +159,8 @@ def make_train_step(
     width, height = camera_static
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    opt = scaled_adam(lr)
+    opt = scaled_adam(lr, lr_final=lr_final,
+                      decay_steps=decay_steps)
     photometric = get_loss_fn(loss)
 
     def loss_fn(params: SceneParams, labels, cam: CameraParams, target, bg):
@@ -177,6 +196,8 @@ def make_multiview_train_step(
     cfg: Config = DEFAULT,
     *,
     lr: float = 1e-2,
+    lr_final: Optional[float] = None,
+    decay_steps: Optional[int] = None,
     budget: int,
     interpret: Optional[bool] = None,
     loss: str = "l2",
@@ -189,7 +210,8 @@ def make_multiview_train_step(
     width, height = camera_static
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    opt = scaled_adam(lr)
+    opt = scaled_adam(lr, lr_final=lr_final,
+                      decay_steps=decay_steps)
     photometric = get_loss_fn(loss)
 
     def loss_fn(params: SceneParams, labels, cams: CameraParams, targets,
@@ -222,6 +244,65 @@ def make_multiview_train_step(
     return train_step
 
 
+def make_adaptive_multiview_train_step(
+    camera_static: Tuple[int, int],
+    cfg: Config = DEFAULT,
+    *,
+    lr: float = 1e-2,
+    lr_final: Optional[float] = None,
+    decay_steps: Optional[int] = None,
+    budget: int,
+    interpret: Optional[bool] = None,
+    loss: str = "l2",
+):
+    """Multiview batch step (scan over views, like
+    :func:`make_multiview_train_step`) that ALSO accumulates adaptive-
+    density statistics from the batched gradient — the recipe for fitting
+    a scene from random init: per-view rotation thrashes Adam's moments
+    across conflicting single-view gradients, while the view-averaged
+    gradient descends cleanly (scripts/train_quality.py measured ~23 dB at
+    600 multiview steps where 1500 rotated single-view steps plateaued at
+    ~12 dB). Returns (state, stats, loss, num_dropped)."""
+    from gsplat_tpu.models.densify import DensifyStats
+
+    width, height = camera_static
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    opt = scaled_adam(lr, lr_final=lr_final, decay_steps=decay_steps)
+    photometric = get_loss_fn(loss)
+
+    def loss_fn(params: SceneParams, labels, cams: CameraParams, targets,
+                bg):
+        scene = params.to_scene(labels)
+
+        def body(acc, xs):
+            cam, target = xs
+            total, nd = acc
+            out = _render_impl(
+                scene, cam, bg, width=width, height=height, cfg=cfg,
+                with_labels=False, impl="pallas", interpret=interpret,
+                budget=budget)
+            return (total + photometric(out["image"], target),
+                    jnp.maximum(nd, out["num_dropped"])), None
+
+        (total, nd), _ = jax.lax.scan(
+            body, (0.0, jnp.zeros((), jnp.int32)), (cams, targets))
+        return total / targets.shape[0], nd
+
+    @jax.jit
+    def train_step(state: TrainState, stats: DensifyStats, labels,
+                   cams: CameraParams, targets, bg):
+        (loss_v, nd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, labels, cams, targets, bg)
+        stats = stats.update(grads)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params, opt_state, state.step + 1), stats, loss_v,
+                nd)
+
+    return train_step
+
+
 def stack_cameras(cams) -> CameraParams:
     """Stack a list of CameraParams into a scan-able batch."""
     import numpy as np
@@ -239,6 +320,8 @@ def make_adaptive_train_step(
     cfg: Config = DEFAULT,
     *,
     lr: float = 1e-2,
+    lr_final: Optional[float] = None,
+    decay_steps: Optional[int] = None,
     budget: int,
     mesh: Optional[Mesh] = None,
     budget_per_device: Optional[int] = None,
@@ -266,7 +349,8 @@ def make_adaptive_train_step(
     width, height = camera_static
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    opt = scaled_adam(lr)
+    opt = scaled_adam(lr, lr_final=lr_final,
+                      decay_steps=decay_steps)
     photometric = get_loss_fn(loss)
 
     def loss_fn(params: SceneParams, labels, cam: CameraParams, target, bg):
