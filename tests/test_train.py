@@ -208,3 +208,40 @@ def test_dense_impl_size_guard():
     cam = look_at_camera((0, 0, -3.0), (0, 0, 0), width=1024, height=1024)
     with pytest.raises(ValueError, match="impl='pallas'"):
         render(scene, cam, Config(), impl="dense")
+
+
+def test_adaptive_multiview_step_decreases_loss():
+    """The random-init fitting recipe (view-averaged gradients + densify
+    stats in one scan step, scripts/train_quality.py): loss decreases and
+    stats accumulate."""
+    from gsplat_tpu.models.densify import DensifyStats
+    from gsplat_tpu.models.trainer import (init_state,
+                                           make_adaptive_multiview_train_step,
+                                           stack_cameras)
+    from gsplat_tpu.render.projection import CameraParams
+
+    scene = random_scene(96, seed=21, extent=0.8, scale_range=(0.03, 0.08))
+    cam = look_at_camera((0, 0, -3.0), (0, 0, 0), width=32, height=32)
+    cams = stack_cameras([CameraParams.from_camera(cam)] * 2)
+    from gsplat_tpu.render.api import render as _render
+    tgt = jnp.asarray(np.asarray(_render(scene, cam, Config())["image"]))
+    targets = jnp.stack([tgt, tgt])
+    import dataclasses
+    rng = np.random.default_rng(3)
+    noisy = dataclasses.replace(
+        scene, means=scene.means + 0.05 * rng.normal(
+            size=scene.means.shape).astype(np.float32))
+
+    step = make_adaptive_multiview_train_step(
+        (32, 32), Config(), lr=5e-3, lr_final=5e-4, decay_steps=20,
+        budget=2048, interpret=True)
+    state = init_state(noisy, lr=5e-3, lr_final=5e-4, decay_steps=20)
+    stats = DensifyStats.zeros(96)
+    losses = []
+    for _ in range(5):
+        state, stats, loss, nd = step(state, stats, noisy.labels, cams,
+                                      targets, jnp.zeros(3))
+        losses.append(float(loss))
+        assert int(nd) == 0
+    assert losses[-1] < losses[0], losses
+    assert float(jnp.max(stats.count)) > 0
