@@ -396,30 +396,65 @@ def measure_budgets(scene: GaussianScene, camera: Camera,
     return budget, kernel_budget, num_windows
 
 
+def _stack_cams(cameras) -> CameraParams:
+    cps = [CameraParams.from_camera(c) for c in cameras]
+    return CameraParams(*[jnp.stack([jnp.asarray(getattr(c, f))
+                                     for c in cps])
+                          for f in CameraParams._fields])
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg",
+                                             "probe", "budget",
+                                             "kernel_budget"))
+def _probe_views(scene, camsb, *, width, height, cfg, probe,
+                 budget=0, kernel_budget=0):
+    """MAX over a view batch of one budget probe, in ONE dispatch: a scan
+    projects each view and counts, freeing the projection between views.
+    (The r3 version held every view's projection on device simultaneously —
+    311 views x 1M gaussians OOMed a 16 GB chip — and paid one host sync
+    per view per probe: 3V round-trips on a high-latency tunnel.)"""
+    tx, ty = tile_grid(width, height, cfg.raster.tile_size)
+    ts = cfg.raster.tile_size
+
+    def body(acc, cam):
+        p = project(scene, cam, width, height, cfg.raster,
+                    z_near=cfg.camera.z_near, z_far=cfg.camera.z_far)
+        if probe == "cnt":
+            c = count_instances(p, tiles_x=tx, tiles_y=ty, tile_size=ts)
+        elif probe == "tight":
+            c = count_instances_tight(p, tiles_x=tx, tiles_y=ty,
+                                      tile_size=ts, budget=budget)
+        else:
+            c = count_windows(p, tiles_x=tx, tiles_y=ty, tile_size=ts,
+                              chunk=cfg.tiles.chunk, budget=budget,
+                              kernel_budget=kernel_budget,
+                              wpg=cfg.tiles.wpg)
+        return jnp.maximum(acc, c), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), camsb)
+    return out
+
+
 def measure_budgets_multi(scene: GaussianScene, cameras,
                           cfg: Config = DEFAULT):
     """Budgets valid for EVERY camera in ``cameras`` (shared resolution):
-    max of the exact per-view counts, bucketed once. The per-view probes are
-    cheap jitted programs compiled once each (ADVICE r2: sampling <=8 views
-    can undersize the budget and silently shed instances on unsampled
-    views)."""
+    max of the exact per-view counts, bucketed once (ADVICE r2: sampling
+    <=8 views can undersize the budget and silently shed instances on
+    unsampled views). Three scanned probes — one dispatch and one host
+    sync each, O(1) live projections regardless of the view count."""
     cam0 = cameras[0]
     tx, ty = tile_grid(cam0.width, cam0.height, cfg.raster.tile_size)
-    ts = cfg.raster.tile_size
-    projs = [project(scene, CameraParams.from_camera(c), cam0.width,
-                     cam0.height, cfg.raster, z_near=cfg.camera.z_near,
-                     z_far=cfg.camera.z_far) for c in cameras]
-    cnt = max(int(count_instances(p, tiles_x=tx, tiles_y=ty, tile_size=ts))
-              for p in projs)
+    camsb = _stack_cams(cameras)
+    w, h = cam0.width, cam0.height
+    cnt = int(_probe_views(scene, camsb, width=w, height=h, cfg=cfg,
+                           probe="cnt"))
     budget = bucket_budget(cnt, cfg.tiles.chunk)
-    tight = max(int(count_instances_tight(
-        p, tiles_x=tx, tiles_y=ty, tile_size=ts, budget=budget))
-        for p in projs)
+    tight = int(_probe_views(scene, camsb, width=w, height=h, cfg=cfg,
+                             probe="tight", budget=budget))
     kernel_budget = bucket_budget(tight, cfg.tiles.chunk)
-    nw = max(int(count_windows(
-        p, tiles_x=tx, tiles_y=ty, tile_size=ts, chunk=cfg.tiles.chunk,
-        budget=budget, kernel_budget=kernel_budget, wpg=cfg.tiles.wpg))
-        for p in projs)
+    nw = int(_probe_views(scene, camsb, width=w, height=h, cfg=cfg,
+                          probe="win", budget=budget,
+                          kernel_budget=kernel_budget))
     wpg = cfg.tiles.wpg
     num_windows = max(min(bucket_budget(nw, 8 * wpg, slack=1.04, step=1.1),
                           num_windows_static(kernel_budget, cfg.tiles.chunk,

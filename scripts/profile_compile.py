@@ -65,7 +65,7 @@ def f_blend_fwd(ptab):
         ptab, b0.inst_gauss, b0.win_tile, b0.win_first, b0.win_start,
         b0.win_off, b0.win_len, b0.win_rcg, b0.enum_kernel_row,
         b0.enum_start, b0.enum_cnt,
-        cfg.tiles.chunk, cfg.raster.tile_size, tx, tx * ty,
+        cfg.tiles.chunk, cfg.tiles.wpg, cfg.raster.tile_size, tx, tx * ty,
         cfg.raster.alpha_min, cfg.raster.alpha_max, False, interpret,
         cfg.raster.early_stop_eps)
 
