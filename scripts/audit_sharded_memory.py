@@ -54,7 +54,6 @@ def main() -> None:
     from gsplat_tpu.parallel.render_sharded import (
         COMPACT_COLS, _overlap_mask, _pack_compact, grid_layout,
         measure_budgets_sharded)
-    from gsplat_tpu.render.api import _window_params, pack_table
     from gsplat_tpu.render.blend_pallas import PARAM_LANES
     from gsplat_tpu.render.projection import CameraParams, project
     from gsplat_tpu.render.tiles import bin_windows, count_instances_tight
