@@ -293,3 +293,38 @@ def test_sharded_adaptive_densify(mesh, camera):
     state = trainer.TrainState(new_params, opt_state, state.step)
     state, stats, loss2, _ = step(state, stats, labels, cam, target, bg)
     assert float(loss2) == float(loss2)  # finite
+
+
+def test_factor_grid_and_interleave_roundtrip():
+    """factor_grid picks balanced factorizations; interleave_tiles restores
+    exact global pixel order from per-device lattice blocks."""
+    from gsplat_tpu.parallel.render_sharded import (factor_grid, grid_layout,
+                                                    interleave_tiles)
+
+    # bench geometry: 25x19 tiles over 8 devices -> rows AND cols split
+    assert factor_grid(8, 25, 19) == (4, 2)
+    assert factor_grid(2, 25, 19) == (1, 2)
+    assert factor_grid(1, 25, 19) == (1, 1)
+
+    ts = 4
+    w, h, d = 40, 24, 4
+    dy, dx, tx_l, ty_l = grid_layout(w, h, ts, d)
+    assert dy * dx == d
+    # paint each global pixel with its (row*W + col) id, cut into device blocks
+    full = np.arange((ty_l * dy * ts) * (tx_l * dx * ts),
+                     dtype=np.float32).reshape(ty_l * dy * ts,
+                                               tx_l * dx * ts)
+    blocks = []
+    for dev in range(d):
+        py, px = dev // dx, dev % dx
+        block = np.zeros((ty_l * ts, tx_l * ts), np.float32)
+        for ly in range(ty_l):
+            for lx in range(tx_l):
+                gy, gx = py + ly * dy, px + lx * dx
+                block[ly * ts:(ly + 1) * ts, lx * ts:(lx + 1) * ts] = \
+                    full[gy * ts:(gy + 1) * ts, gx * ts:(gx + 1) * ts]
+        blocks.append(block)
+    stacked = jnp.asarray(np.concatenate(blocks, axis=0))
+    out = np.asarray(interleave_tiles(stacked, dy, dx, tx_l, ty_l, ts, w, h))
+    assert out.shape == (h, w)
+    np.testing.assert_array_equal(out, full[:h, :w])
