@@ -3,7 +3,8 @@
 The capability the reference lacks entirely (its rendering is forward-only
 GLSL — SURVEY.md "critical facts"): optimize gaussian parameters against
 target images through the Pallas backward kernels, single-chip or sharded
-over a mesh (gaussians over devices, tile bands per device).
+over a mesh (gaussians over devices, 2D-interleaved tiles per device,
+overlap-culled a2a splat exchange).
 """
 
 from __future__ import annotations
@@ -143,6 +144,7 @@ def make_train_step(
     budget_per_device: Optional[int] = None,
     interpret: Optional[bool] = None,
     loss: str = "l2",
+    exchange_capacity: Optional[int] = None,
 ):
     """Build a jitted train step:
     (state, labels, cam, target, bg) -> (state, loss, num_dropped).
@@ -152,9 +154,12 @@ def make_train_step(
     (the deepest instances per tile are dropped); callers should re-measure
     budgets when it fires (VERDICT r3 weak #5).
 
-    With ``mesh``, runs the sharded pipeline (gaussians over devices, tile
-    bands per device, grad reduce-scatter via shard_map autodiff); otherwise
-    the single-device tiled renderer.
+    With ``mesh``, runs the sharded pipeline (gaussians over devices,
+    2D-interleaved tiles per device, overlap-culled a2a splat exchange with
+    gradient return through the transposed collective); pass the measured
+    ``exchange_capacity`` (render_sharded.measure_budgets_sharded) to cap
+    per-device memory at O(N/D + overlap) — the default full-shard capacity
+    is safe but O(N). Otherwise the single-device tiled renderer.
     """
     width, height = camera_static
     if interpret is None:
@@ -175,7 +180,8 @@ def make_train_step(
             img, nd = render_sharded(
                 scene, cam, mesh, width=width, height=height, cfg=cfg,
                 budget_per_device=budget_per_device or budget,
-                background=bg, interpret=interpret, with_dropped=True)
+                background=bg, interpret=interpret, with_dropped=True,
+                exchange_capacity=exchange_capacity)
         h = min(img.shape[0], target.shape[0])
         return photometric(img[:h], target[:h]), nd
 
@@ -327,6 +333,7 @@ def make_adaptive_train_step(
     budget_per_device: Optional[int] = None,
     interpret: Optional[bool] = None,
     loss: str = "dssim_l1",
+    exchange_capacity: Optional[int] = None,
 ):
     """Train step that also accumulates adaptive-density statistics
     (gsplat_tpu/models/densify.py): (state, stats, labels, cam, target, bg)
@@ -365,7 +372,8 @@ def make_adaptive_train_step(
             img, nd = render_sharded(
                 scene, cam, mesh, width=width, height=height, cfg=cfg,
                 budget_per_device=budget_per_device or budget,
-                background=bg, interpret=interpret, with_dropped=True)
+                background=bg, interpret=interpret, with_dropped=True,
+                exchange_capacity=exchange_capacity)
         h = min(img.shape[0], target.shape[0])
         return photometric(img[:h], target[:h]), nd
 
