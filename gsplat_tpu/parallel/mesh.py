@@ -6,7 +6,7 @@ expressed as XLA collectives over a ``Mesh(('host', 'chip'))`` — 'host' maps
 to DCN (inter-host), 'chip' to ICI (intra-host). Sharding rules:
 
 - gaussian arrays:   P(('host', 'chip'))   — gaussians split over all devices
-- image tile bands:  P(('host', 'chip'))   — each device owns a row-band
+- image tiles:       P(('host', 'chip'))   — each device owns a 2D-interleaved tile lattice
 - cameras / scalars: replicated
 """
 
