@@ -46,7 +46,7 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=None,
                     help="instance budget (default: measured + bucketed)")
     ap.add_argument("--forward-only", action="store_true")
-    ap.add_argument("--repeats", type=int, default=7,
+    ap.add_argument("--repeats", type=int, default=9,
                     help="interleaved (hi, lo) timing pairs; the JSON line "
                          "reports their median + min/max spread")
     ap.add_argument("--tile-size", type=int, default=None)
