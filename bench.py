@@ -155,17 +155,41 @@ def main() -> None:
     # the reported spread.
     import statistics
 
+    # Degenerate pairs (contention makes the hi run no slower than the lo
+    # run, a - b <= 0, or implausibly fast vs the running median) are
+    # DISCARDED AND RE-MEASURED, never clamped (VERDICT r4 weak #2: the
+    # old 1 µs clamp put a 486,400 Mpix/s bound in the artifact and biased
+    # the median).
     n_hi, n_lo = args.iters + 1, max(args.iters // 4, 1)
     per_pair_dt = []
-    for _ in range(args.repeats):
+    attempts, max_attempts = 0, 4 * args.repeats
+    while len(per_pair_dt) < args.repeats and attempts < max_attempts:
+        attempts += 1
         a = timed(n_hi)
         b = timed(n_lo)
-        per_pair_dt.append(max((a - b) / (n_hi - n_lo), 1e-6))
+        pair_dt = (a - b) / (n_hi - n_lo)
+        if pair_dt <= 0:
+            print(f"discarding degenerate pair (hi {a*1e3:.1f} ms <= "
+                  f"lo {b*1e3:.1f} ms); re-measuring", file=sys.stderr)
+            continue
+        if per_pair_dt and pair_dt < 0.25 * statistics.median(per_pair_dt):
+            print(f"discarding implausible pair ({pair_dt*1e3:.3f} ms/frame"
+                  f" < 0.25x running median); re-measuring", file=sys.stderr)
+            continue
+        per_pair_dt.append(pair_dt)
+    if len(per_pair_dt) < max(3, args.repeats // 2):
+        print(f"FATAL: only {len(per_pair_dt)} valid timing pairs in "
+              f"{attempts} attempts — chip too contended for a meaningful "
+              f"number; rerun later", file=sys.stderr)
+        sys.exit(1)
     px_frame = args.width * args.height
     per_pair_mpix = [px_frame / dt / 1e6 for dt in per_pair_dt]
     dt = statistics.median(per_pair_dt)
     mpix = statistics.median(per_pair_mpix)
     lo_m, hi_m = min(per_pair_mpix), max(per_pair_mpix)
+    import math
+    assert all(map(math.isfinite, (mpix, lo_m, hi_m))) and hi_m < 10_000, \
+        f"insane spread [{lo_m}, {hi_m}] — refusing to write the artifact"
 
     mode = "fwd" if args.forward_only else "fwd+bwd"
     sol = _sol_mpix()

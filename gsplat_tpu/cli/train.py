@@ -205,7 +205,7 @@ def main(argv=None) -> int:
             # sync that would serialize the step pipeline every iteration)
             if int(nd) > 0:
                 print(f"step {it}: WARNING {int(nd)} instances dropped "
-                      f"(budget too small — raise --budget-factor)")
+                      f"(budget too small — raise --budget_factor)")
         if (args.checkpoint_dir and it > start
                 and it % args.checkpoint_every == 0):
             if adaptive:

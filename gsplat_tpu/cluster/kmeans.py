@@ -25,8 +25,8 @@ from gsplat_tpu.scene import GaussianScene, color_to_dc
 
 # Reference cluster palette (k_means.py:8, /255).
 COLORS = np.array([
-    [255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0],
-    [255, 0, 255], [0, 255, 255], [255, 255, 255], [0, 0, 0],
+    [252, 199, 55], [242, 107, 15], [231, 56, 121], [126, 24, 145],
+    [247, 44, 91], [255, 116, 139], [167, 212, 119], [228, 241, 172],
 ], dtype=np.float32) / 255.0
 
 

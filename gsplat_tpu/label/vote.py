@@ -250,10 +250,10 @@ def _visibility_group(scene, cameras, thr, cfg, interpret,
     w, h = cameras[0].width, cameras[0].height
     budget, kernel_budget, num_windows = measure_budgets_multi(
         scene, cameras, cfg)
-    import sys
-    print(f"visibility sweep: {len(cameras)} views at {w}x{h}, "
-          f"budget={budget} kernel={kernel_budget} windows={num_windows}",
-          file=sys.stderr)
+    import logging
+    logging.getLogger(__name__).info(
+        "visibility sweep: %d views at %dx%d, budget=%d kernel=%d windows=%d",
+        len(cameras), w, h, budget, kernel_budget, num_windows)
     v = len(cameras)
     cams = CameraParams(
         rot=jnp.asarray(np.stack([c.rotation for c in cameras]),

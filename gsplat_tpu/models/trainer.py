@@ -60,7 +60,13 @@ def scaled_adam(lr: float = 1e-2, *, lr_final: Optional[float] = None,
     With ``lr_final``/``decay_steps``, the rate decays exponentially from
     ``lr`` to ``lr_final`` over ``decay_steps`` (the standard 3DGS
     position-lr schedule — without decay, optimization stalls at a high
-    loss floor once splats are near their targets)."""
+    loss floor once splats are near their targets).
+
+    The final transform is ALWAYS ``scale_by_schedule`` (constant when no
+    decay) so the opt_state pytree is identical with or without schedule
+    args — checkpoints saved either way restore into either configuration,
+    and the restored schedule count continues the decay clock instead of
+    restarting it (ADVICE r4 #5)."""
     def scale_tree(updates, state, params=None):
         del params
         scaled = SceneParams(*[
@@ -70,9 +76,11 @@ def scaled_adam(lr: float = 1e-2, *, lr_final: Optional[float] = None,
         def sched(step):
             t = jnp.clip(step / decay_steps, 0.0, 1.0)
             return -lr * (lr_final / lr) ** t
-        last = optax.scale_by_schedule(sched)
     else:
-        last = optax.scale(-lr)
+        def sched(step):
+            del step
+            return -lr
+    last = optax.scale_by_schedule(sched)
     return optax.chain(
         optax.scale_by_adam(),
         optax.GradientTransformation(lambda _: optax.EmptyState(), scale_tree),

@@ -357,14 +357,18 @@ def measure_budgets_sharded(
                       (tx_l * ty_l + 1) * wpg)
 
     # exchange capacity: per (source shard, destination) overlap count.
-    # Shards are contiguous leading-axis slices (mesh.shard_scene).
+    # Shards are contiguous leading-axis slices of the PADDED scene
+    # (mesh.shard_scene pads N up to a multiple of D with invalid splats,
+    # which never overlap) — pad the mask the same way so shard boundaries
+    # line up even when n % d != 0 (ADVICE r4 #4).
     n = proj.depth.shape[0]
-    n_shard = n // d
+    n_shard = -(-n // d)
     cap = 0
     for py, px in phases:
         m = _overlap_mask(proj, py, px, dy, dx, ty_l, tx_l, float(ts))
+        m = jnp.pad(m, (0, n_shard * d - n), constant_values=False)
         per_shard = jnp.sum(
-            m[: n_shard * d].reshape(d, n_shard).astype(jnp.int32), axis=1)
+            m.reshape(d, n_shard).astype(jnp.int32), axis=1)
         cap = max(cap, int(jnp.max(per_shard)))
     exchange_capacity = min(bucket_budget(max(cap, 1), 8), n_shard)
     return budget, kernel_budget, num_windows, exchange_capacity
@@ -383,8 +387,13 @@ def make_sharded_render_fn(
     num_windows_per_device: Optional[int] = None,
     exchange: str = "a2a",
     exchange_capacity: Optional[int] = None,
+    with_dropped: bool = False,
 ):
-    """jit-compiled closure over the static configuration."""
+    """jit-compiled closure over the static configuration.
+
+    Pass ``with_dropped=True`` when supplying a measured
+    ``exchange_capacity``: an undersized capacity sheds splats, and without
+    the drop count there is no signal (ADVICE r4 #3)."""
 
     @jax.jit
     def fn(scene: GaussianScene, cam: CameraParams,
@@ -395,6 +404,7 @@ def make_sharded_render_fn(
             interpret=interpret, with_labels=with_labels,
             kernel_budget_per_device=kernel_budget_per_device,
             num_windows_per_device=num_windows_per_device,
-            exchange=exchange, exchange_capacity=exchange_capacity)
+            exchange=exchange, exchange_capacity=exchange_capacity,
+            with_dropped=with_dropped)
 
     return fn
