@@ -111,7 +111,7 @@ def main() -> None:
         @jax.jit
         def run(p, shard_c, pt, iters):
             def body(i, c):
-                pp = p._replace(means2d=p.means2d + c * 1e-30)
+                pp = p._replace(u=p.u + c * 1e-30)
                 # exchange compaction: per-dest cull + fixed-capacity pack
                 acc = c
                 if d > 1:

@@ -60,11 +60,11 @@ COMPACT_COLS = 16  # u v ca cb cc depth radius ex ey qmax r g b opacity valid la
 
 def _pack_compact(proj: Projected, labels: jax.Array) -> jax.Array:
     return jnp.stack([
-        proj.means2d[:, 0], proj.means2d[:, 1],
-        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        proj.u, proj.v,
+        proj.ca, proj.cb, proj.cc,
         proj.depth, proj.radius,
-        proj.extent[:, 0], proj.extent[:, 1], proj.qmax,
-        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        proj.ex, proj.ey, proj.qmax,
+        proj.red, proj.green, proj.blue,
         proj.opacity, proj.valid.astype(jnp.float32),
         labels.astype(jnp.float32),
     ], axis=1)
@@ -72,9 +72,10 @@ def _pack_compact(proj: Projected, labels: jax.Array) -> jax.Array:
 
 def _unpack_compact(c: jax.Array) -> Projected:
     return Projected(
-        means2d=c[:, 0:2], conic=c[:, 2:5], depth=c[:, 5], radius=c[:, 6],
-        extent=c[:, 7:9], qmax=c[:, 9],
-        color=c[:, 10:13], opacity=c[:, 13], valid=c[:, 14] > 0.5)
+        u=c[:, 0], v=c[:, 1], ca=c[:, 2], cb=c[:, 3], cc=c[:, 4],
+        depth=c[:, 5], radius=c[:, 6], ex=c[:, 7], ey=c[:, 8],
+        qmax=c[:, 9], red=c[:, 10], green=c[:, 11], blue=c[:, 12],
+        opacity=c[:, 13], valid=c[:, 14] > 0.5)
 
 
 def factor_grid(num_devices: int, tiles_x: int, tiles_y: int
@@ -141,8 +142,8 @@ def _overlap_mask(proj: Projected, py, px, dy: int, dx: int, ty_l: int,
     """[N_shard] bool: does this splat's bbox touch any tile owned by
     device (py, px) of the (Dy, Dx) lattice? Mirrors _tile_bbox's strided
     span remap exactly."""
-    u, ex = proj.means2d[:, 0], proj.extent[:, 0]
-    v, ey = proj.means2d[:, 1], proj.extent[:, 1]
+    u, ex = proj.u, proj.ex
+    v, ey = proj.v, proj.ey
     gx_hi, gy_hi = tx_l * dx, ty_l * dy
     gx0 = jnp.clip(jnp.floor((u - ex) / tile_size).astype(jnp.int32),
                    0, gx_hi)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from gsplat_tpu.config import RasterConfig
 from gsplat_tpu.io.cameras import Camera
-from gsplat_tpu.render.sh import eval_sh
+from gsplat_tpu.render.sh import eval_sh, eval_sh_soa
 from gsplat_tpu.scene import GaussianScene
 
 
@@ -40,15 +40,49 @@ class CameraParams(NamedTuple):
 
 
 class Projected(NamedTuple):
-    means2d: jax.Array   # [N, 2] pixel coords
-    conic: jax.Array     # [N, 3] (a, b, c) of inverse 2D covariance
+    """Projection outputs, STRUCTURE-OF-ARRAYS: every field is [N].
+
+    r5 layout fix: elementwise ops on [N, 2]/[N, 3] arrays run ~13x below
+    HBM speed on v5e (narrow minor dims vectorize onto 2-4 of 128 lanes —
+    measured 82 GB/s vs 1103 GB/s effective, scripts/profile_proj_glue.py
+    + /tmp layout probe). Materializing means2d/conic/extent/color as
+    packed arrays cost ~1 ms/frame across projection and its consumers'
+    re-slicing; flat [N] fields keep every producer and consumer at full
+    lane occupancy."""
+
+    u: jax.Array         # [N] pixel x
+    v: jax.Array         # [N] pixel y
+    ca: jax.Array        # [N] conic a (inverse 2D covariance)
+    cb: jax.Array        # [N] conic b
+    cc: jax.Array        # [N] conic c
     depth: jax.Array     # [N] camera-space z
     radius: jax.Array    # [N] cutoff-sigma pixel radius (isotropic bound)
-    extent: jax.Array    # [N, 2] per-axis half-extents of the cutoff ellipse
+    ex: jax.Array        # [N] cutoff-ellipse half-extent along x
+    ey: jax.Array        # [N] cutoff-ellipse half-extent along y
     qmax: jax.Array      # [N] Mahalanobis^2 at the alpha_min cutoff
-    color: jax.Array     # [N, 3] SH-evaluated RGB (>= 0)
+    red: jax.Array       # [N] SH-evaluated color (>= 0)
+    green: jax.Array     # [N]
+    blue: jax.Array      # [N]
     opacity: jax.Array   # [N] sigmoid-activated
     valid: jax.Array     # [N] bool
+
+    # Packed views for oracle/test comparisons only — DO NOT use on the
+    # render path (they reintroduce the slow narrow-minor layout).
+    @property
+    def means2d(self) -> jax.Array:
+        return jnp.stack([self.u, self.v], axis=-1)
+
+    @property
+    def conic(self) -> jax.Array:
+        return jnp.stack([self.ca, self.cb, self.cc], axis=-1)
+
+    @property
+    def extent(self) -> jax.Array:
+        return jnp.stack([self.ex, self.ey], axis=-1)
+
+    @property
+    def color(self) -> jax.Array:
+        return jnp.stack([self.red, self.green, self.blue], axis=-1)
 
 
 def quat_to_rotmat(quats: jax.Array) -> jax.Array:
@@ -130,7 +164,6 @@ def project(
 
     u = cam.fx * pcx / zs + width / 2.0
     v = cam.fy * pcy / zs + height / 2.0
-    means2d = jnp.stack([u, v], axis=-1)
 
     s00, s01, s02, s11, s12, s22 = _sigma3_entries(
         scene.log_scales, scene.quats)
@@ -161,7 +194,8 @@ def project(
     det = a * c - b * b
     valid &= det > 0
     det_safe = jnp.where(det > 0, det, 1.0)
-    conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
+    inv_det = 1.0 / det_safe
+    ca, cb, cc = c * inv_det, -b * inv_det, a * inv_det
 
     opacity = jax.nn.sigmoid(scene.opacities)
 
@@ -179,22 +213,21 @@ def project(
     # ellipse's max |dx| is cutoff*sqrt(Sigma2_xx) — strictly tighter than
     # the isotropic lam1 radius for anisotropic splats, so the tile bboxes
     # built from it enumerate fewer instances.
-    extent = cutoff[:, None] * jnp.sqrt(jnp.maximum(
-        jnp.stack([a, c], axis=-1), 0.0))
+    ex = cutoff * jnp.sqrt(jnp.maximum(a, 0.0))
+    ey = cutoff * jnp.sqrt(jnp.maximum(c, 0.0))
     qmax = cutoff * cutoff
     valid &= opacity >= cfg.alpha_min
 
-    valid &= (u + extent[:, 0] > 0) & (u - extent[:, 0] < width)
-    valid &= (v + extent[:, 1] > 0) & (v - extent[:, 1] < height)
+    valid &= (u + ex > 0) & (u - ex < width)
+    valid &= (v + ey > 0) & (v - ey < height)
 
-    view_dir = means - cam.pos[None, :]
-    view_dir = view_dir / jnp.maximum(
-        jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-12)
-    color = eval_sh(scene.sh, view_dir, degree=sh_degree)
+    red, green, blue = eval_sh_soa(
+        scene.sh, mx - cam.pos[0], my - cam.pos[1], mz - cam.pos[2],
+        degree=sh_degree)
 
-    return Projected(means2d=means2d, conic=conic, depth=z, radius=radius,
-                     extent=extent, qmax=qmax, color=color, opacity=opacity,
-                     valid=valid)
+    return Projected(u=u, v=v, ca=ca, cb=cb, cc=cc, depth=z, radius=radius,
+                     ex=ex, ey=ey, qmax=qmax, red=red, green=green,
+                     blue=blue, opacity=opacity, valid=valid)
 
 
 def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:

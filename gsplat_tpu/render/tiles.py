@@ -250,8 +250,8 @@ def bin_windows(
     qd = depth_qkeys(proj.depth, proj.valid, num_tiles)   # [N] i32 < 2^22
 
     # --- bbox enumeration in original order
-    u, v = proj.means2d[:, 0], proj.means2d[:, 1]
-    x0, y0, bw, cnt = _tile_bbox(u, v, proj.extent[:, 0], proj.extent[:, 1],
+    u, v = proj.u, proj.v
+    x0, y0, bw, cnt = _tile_bbox(u, v, proj.ex, proj.ey,
                                  proj.valid, ts, tiles_x, tiles_y,
                                  row_stride, row_phase,
                                  col_stride, col_phase)
@@ -274,7 +274,7 @@ def bin_windows(
             jnp.maximum(bw, 1).astype(jnp.float32),
             x0.astype(jnp.float32), y0.astype(jnp.float32),
             qd.astype(jnp.float32),          # < 2^22: exact in f32
-            u, v, proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            u, v, proj.ca, proj.cb, proj.cc,
             proj.qmax,
         ] + [jnp.zeros((n,), jnp.float32)] * 5, axis=1)   # [N, 16]
         erow = etab.at[g].get(mode="clip")                # [B, 16]
@@ -292,7 +292,7 @@ def bin_windows(
             jnp.maximum(bw, 1).astype(jnp.float32),
             x0.astype(jnp.float32), y0.astype(jnp.float32),
             qd.astype(jnp.float32),
-            u, v, proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            u, v, proj.ca, proj.cb, proj.cc,
             proj.qmax,
         ] + [jnp.zeros((n,), jnp.float32)] * 5, axis=1)
         erow = etab.at[g].get(mode="clip")
@@ -543,22 +543,22 @@ def count_instances(proj: Projected, *, tiles_x: int, tiles_y: int,
                     col_stride: int = 1, col_phase=0) -> jax.Array:
     """Bbox instance count (no sort): an upper bound on the tight count,
     used to size the static enumeration budget."""
-    u, v = proj.means2d[:, 0], proj.means2d[:, 1]
-    _, _, _, cnt = _tile_bbox(u, v, proj.extent[:, 0], proj.extent[:, 1],
+    u, v = proj.u, proj.v
+    _, _, _, cnt = _tile_bbox(u, v, proj.ex, proj.ey,
                               proj.valid, float(tile_size), tiles_x, tiles_y,
                               row_stride, row_phase, col_stride, col_phase)
     return jnp.sum(cnt)
 
 
-def _expand_instances(u, v, extent, conic, qmax, valid, *, tiles_x, tiles_y,
-                      tile_size, budget, n, row_stride=1, row_phase=0,
-                      col_stride=1, col_phase=0):
+def _expand_instances(u, v, ex, ey, ca, cb, cc, qmax, valid, *, tiles_x,
+                      tiles_y, tile_size, budget, n, row_stride=1,
+                      row_phase=0, col_stride=1, col_phase=0):
     """Enumerate (depth-rank, tile) instance pairs from depth-SORTED per-
     gaussian arrays; tight-filtered pairs get the sentinel tile ``num_tiles``.
     Returns (tile [B], g [B], total bbox count, tight count)."""
     ts = float(tile_size)
     num_tiles = tiles_x * tiles_y
-    x0, y0, bw, cnt = _tile_bbox(u, v, extent[:, 0], extent[:, 1], valid,
+    x0, y0, bw, cnt = _tile_bbox(u, v, ex, ey, valid,
                                  ts, tiles_x, tiles_y, row_stride, row_phase,
                                  col_stride, col_phase)
 
@@ -580,7 +580,7 @@ def _expand_instances(u, v, extent, conic, qmax, valid, *, tiles_x, tiles_y,
     gtab = jnp.stack([
         offsets.astype(jnp.float32), jnp.maximum(bw, 1).astype(jnp.float32),
         x0.astype(jnp.float32), y0.astype(jnp.float32),
-        u, v, conic[:, 0], conic[:, 1], conic[:, 2], qmax], axis=1)  # [N,10]
+        u, v, ca, cb, cc, qmax], axis=1)  # [N,10]
     grow = gtab[g]                                                   # [B,10]
     local = j - grow[:, 0].astype(jnp.int32)
     bw_g = grow[:, 1]
@@ -620,8 +620,8 @@ def count_instances_tight(proj: Projected, *, tiles_x: int, tiles_y: int,
     # the count is order-independent: no depth sort (an f32-key argsort
     # costs ~18s of XLA compile that a budget probe should not pay)
     tight = _expand_instances(
-        proj.means2d[:, 0], proj.means2d[:, 1], proj.extent,
-        proj.conic, proj.qmax, proj.valid,
+        proj.u, proj.v, proj.ex, proj.ey,
+        proj.ca, proj.cb, proj.cc, proj.qmax, proj.valid,
         tiles_x=tiles_x, tiles_y=tiles_y, tile_size=tile_size, budget=budget,
         n=n, row_stride=row_stride, row_phase=row_phase,
         col_stride=col_stride, col_phase=col_phase)[3]
@@ -644,8 +644,8 @@ def count_windows(proj: Projected, *, tiles_x: int, tiles_y: int,
     n = proj.depth.shape[0]
     num_tiles = tiles_x * tiles_y
     ts = float(tile_size)
-    u, v = proj.means2d[:, 0], proj.means2d[:, 1]
-    x0, y0, bw, cnt = _tile_bbox(u, v, proj.extent[:, 0], proj.extent[:, 1],
+    u, v = proj.u, proj.v
+    x0, y0, bw, cnt = _tile_bbox(u, v, proj.ex, proj.ey,
                                  proj.valid, ts, tiles_x, tiles_y,
                                  row_stride, row_phase,
                                  col_stride, col_phase)
@@ -660,7 +660,7 @@ def count_windows(proj: Projected, *, tiles_x: int, tiles_y: int,
     etab = jnp.stack([
         offsets.astype(jnp.float32), jnp.maximum(bw, 1).astype(jnp.float32),
         x0.astype(jnp.float32), y0.astype(jnp.float32),
-        u, v, proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        u, v, proj.ca, proj.cb, proj.cc,
         proj.qmax,
     ] + [jnp.zeros((n,), jnp.float32)] * 6, axis=1)
     erow = etab.at[g].get(mode="clip")

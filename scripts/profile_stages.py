@@ -65,7 +65,7 @@ def ptb(s, c):
 
 def st_project(c, s):
     p = project(ptb(s, c), camp, W, H, cfg.raster)
-    return p.means2d[0, 0] * 1e-30
+    return p.u[0] * 1e-30
 
 
 def st_bin(c, s):

