@@ -60,6 +60,13 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=608)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default="SCALING.json")
+    ap.add_argument("--direct-gaussians", type=int, default=4096,
+                    help="scene size for the DIRECT end-to-end sharded "
+                         "train-step timing (interpret blend)")
+    ap.add_argument("--direct-size", type=int, nargs=2, default=(256, 256),
+                    help="image size for the direct step timing")
+    ap.add_argument("--direct-steps", type=int, default=3)
+    ap.add_argument("--skip-direct", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -186,11 +193,95 @@ def main() -> None:
         r["step_eff"] = round(t1 / (d * td), 4)
         print(json.dumps(r))
 
+    # --- DIRECT end-to-end timing of the REAL sharded train step --------
+    # VERDICT r4 task 3: the composite above models the kernel/glue split;
+    # this times the actual jitted make_train_step(mesh=...) program —
+    # projection, a2a exchange, binning, interpret-mode Pallas blend
+    # fwd+bwd, collective gradient return, optimizer — at each D on a
+    # small scene (interpret is ~1000x off in absolute terms; only
+    # RELATIVE numbers across D mean anything).
+    #
+    # Host-core caveat: this machine has os.cpu_count() cores; with D
+    # virtual devices > cores the D shard programs time-share the cores,
+    # so under PERFECT scaling wall(D) flattens at wall(cores), not
+    # wall(1)/D. eff_direct therefore normalizes by min(D, cores):
+    # eff_direct = t(1) / (t(D) * min(D, cores)).
+    direct = []
+    if not args.skip_direct:
+        import statistics
+
+        from gsplat_tpu.models import trainer
+        from gsplat_tpu.parallel import mesh as mesh_lib
+
+        cores = os.cpu_count() or 1
+        nd_s = args.direct_gaussians
+        w_s, h_s = args.direct_size
+        scene_s = random_scene(nd_s, seed=3, extent=1.2,
+                               scale_range=(0.01, 0.05), num_labels=8)
+        cam_s = look_at_camera((0.0, 0.0, -3.0), (0.0, 0.0, 0.0),
+                               width=w_s, height=h_s)
+        camp_s = CameraParams.from_camera(cam_s)
+        target = jnp.zeros((h_s, w_s, 3), jnp.float32)
+        bg = jnp.zeros(3, jnp.float32)
+        for d in (1, 2, 4, 8):
+            mesh = mesh_lib.make_mesh((1, d), devices=jax.devices()[:d])
+            budget, kb, nw, cap = measure_budgets_sharded(
+                scene_s, camp_s, width=w_s, height=h_s, cfg=cfg,
+                num_devices=d)
+            sharded = mesh_lib.shard_scene(scene_s, mesh)
+            step = trainer.make_train_step(
+                (w_s, h_s), cfg, lr=1e-3, budget=budget, mesh=mesh,
+                budget_per_device=budget, interpret=True,
+                exchange_capacity=cap)
+            state = trainer.init_state(sharded, lr=1e-3)
+            lbl = sharded.labels
+
+            def run_steps(k, state=state):
+                s = state
+                t0 = time.time()
+                for _ in range(k):
+                    s, loss, nd_drop = step(s, lbl, camp_s, target, bg)
+                float(loss)  # sync
+                return time.time() - t0
+
+            run_steps(1)  # compile
+            k_hi, k_lo = args.direct_steps + 1, 1
+            pairs = []
+            for _ in range(3):
+                a, b = run_steps(k_hi), run_steps(k_lo)
+                if a > b:
+                    pairs.append((a - b) / (k_hi - k_lo))
+            t_step = statistics.median(pairs) if pairs else float("nan")
+            direct.append(dict(devices=d, step_ms=round(t_step * 1e3, 2)))
+            print(json.dumps(direct[-1]), file=sys.stderr)
+        t1 = direct[0]["step_ms"]
+        for r in direct:
+            r["step_eff_direct"] = round(
+                t1 / (r["step_ms"] * min(r["devices"], cores)), 4)
+        for r, rr in zip(results, direct):
+            if r["devices"] == rr["devices"]:
+                r["step_ms_direct"] = rr["step_ms"]
+                r["step_eff_direct"] = rr["step_eff_direct"]
+
     artifact = dict(
         metric="per-device fwd+bwd step work + glue walltime vs D "
                "(CPU-relative; 2D-interleaved tiles + a2a exchange)",
         scene=dict(num_gaussians=n, width=w, height=h),
         backend=jax.default_backend(),
+        host_cores=os.cpu_count(),
+        direct_step=dict(
+            scene=dict(num_gaussians=args.direct_gaussians,
+                       width=args.direct_size[0],
+                       height=args.direct_size[1]),
+            note="step_ms = wall time of ONE full jitted sharded train "
+                 "step (projection + a2a exchange + binning + interpret "
+                 "Pallas blend fwd+bwd + transposed-collective gradient "
+                 "return + optimizer) on the virtual CPU mesh; "
+                 "eff_direct normalizes by min(D, host_cores) because D "
+                 "shard programs time-share the cores (perfect scaling "
+                 "=> wall flattens at wall(cores)).",
+            results=direct,
+        ) if direct else None,
         results=results,
         note="inst/win/bin_eff = D=1 work / (D * per-device work|walltime). "
              "step_eff composites kernel work (prop. to win_max) and glue "

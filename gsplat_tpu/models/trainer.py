@@ -148,6 +148,8 @@ def make_train_step(
     lr_final: Optional[float] = None,
     decay_steps: Optional[int] = None,
     budget: int,
+    kernel_budget: Optional[int] = None,
+    num_windows: Optional[int] = None,
     mesh: Optional[Mesh] = None,
     budget_per_device: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -182,7 +184,8 @@ def make_train_step(
             out = _render_impl(
                 scene, cam, bg, width=width, height=height, cfg=cfg,
                 with_labels=False, impl="pallas", interpret=interpret,
-                budget=budget)
+                budget=budget, kernel_budget=kernel_budget,
+                num_windows=num_windows)
             img, nd = out["image"], out["num_dropped"]
         else:
             img, nd = render_sharded(
@@ -206,7 +209,8 @@ def make_train_step(
 
 
 def _make_view_render(width, height, cfg, interpret, budget, mesh,
-                      budget_per_device, exchange_capacity):
+                      budget_per_device, exchange_capacity,
+                      kernel_budget=None, num_windows=None):
     """(scene, cam, bg) -> (image, num_dropped): the per-view render the
     multiview scan bodies share — single-device tiled path, or with
     ``mesh`` the sharded pipeline (a2a exchange, 2D tile lattice), exactly
@@ -217,7 +221,8 @@ def _make_view_render(width, height, cfg, interpret, budget, mesh,
             out = _render_impl(
                 scene, cam, bg, width=width, height=height, cfg=cfg,
                 with_labels=False, impl="pallas", interpret=interpret,
-                budget=budget)
+                budget=budget, kernel_budget=kernel_budget,
+                num_windows=num_windows)
             return out["image"], out["num_dropped"]
         return render_sharded(
             scene, cam, mesh, width=width, height=height, cfg=cfg,
@@ -235,6 +240,8 @@ def make_multiview_train_step(
     lr_final: Optional[float] = None,
     decay_steps: Optional[int] = None,
     budget: int,
+    kernel_budget: Optional[int] = None,
+    num_windows: Optional[int] = None,
     mesh: Optional[Mesh] = None,
     budget_per_device: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -259,7 +266,8 @@ def make_multiview_train_step(
     photometric = get_loss_fn(loss)
     render_one = _make_view_render(width, height, cfg, interpret, budget,
                                    mesh, budget_per_device,
-                                   exchange_capacity)
+                                   exchange_capacity, kernel_budget,
+                                   num_windows)
 
     def loss_fn(params: SceneParams, labels, cams: CameraParams, targets,
                 bg):
@@ -297,6 +305,8 @@ def make_adaptive_multiview_train_step(
     lr_final: Optional[float] = None,
     decay_steps: Optional[int] = None,
     budget: int,
+    kernel_budget: Optional[int] = None,
+    num_windows: Optional[int] = None,
     mesh: Optional[Mesh] = None,
     budget_per_device: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -323,7 +333,8 @@ def make_adaptive_multiview_train_step(
     photometric = get_loss_fn(loss)
     render_one = _make_view_render(width, height, cfg, interpret, budget,
                                    mesh, budget_per_device,
-                                   exchange_capacity)
+                                   exchange_capacity, kernel_budget,
+                                   num_windows)
 
     def loss_fn(params: SceneParams, labels, cams: CameraParams, targets,
                 bg):
@@ -375,6 +386,8 @@ def make_adaptive_train_step(
     lr_final: Optional[float] = None,
     decay_steps: Optional[int] = None,
     budget: int,
+    kernel_budget: Optional[int] = None,
+    num_windows: Optional[int] = None,
     mesh: Optional[Mesh] = None,
     budget_per_device: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -412,7 +425,8 @@ def make_adaptive_train_step(
             out = _render_impl(
                 scene, cam, bg, width=width, height=height, cfg=cfg,
                 with_labels=False, impl="pallas", interpret=interpret,
-                budget=budget)
+                budget=budget, kernel_budget=kernel_budget,
+                num_windows=num_windows)
             img, nd = out["image"], out["num_dropped"]
         else:
             img, nd = render_sharded(
