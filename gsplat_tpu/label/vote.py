@@ -250,10 +250,28 @@ def _visibility_group(scene, cameras, thr, cfg, interpret,
     w, h = cameras[0].width, cameras[0].height
     budget, kernel_budget, num_windows = measure_budgets_multi(
         scene, cameras, cfg)
+    # SMEM guard: the window kernels scalar-prefetch six [num_windows] i32
+    # arrays into the chip's 1 MB SMEM — at ~1M gaussians the measured grid
+    # blows it (observed: 147k windows -> 3.4 MB, "Ran out of memory in
+    # memory space smem"). Windows scale as instances/chunk, so doubling
+    # ``chunk`` until the scalar operands fit (budget ~0.7 MB) trades a
+    # slightly longer in-window scan (3 extra ops per log2 step) for a
+    # 2-4x smaller grid — the right trade on huge scenes anyway.
+    import dataclasses as _dc
+    while 6 * 4 * num_windows > 920_000 and cfg.tiles.chunk < 256:
+        # cap at chunk=256: 512-row windows hit a TPU runtime kernel fault
+        # (observed 2026-08-21); 256 keeps the in-kernel blocks <= 1 MB
+        # and the scalar operands just under the SMEM ceiling
+        cfg = _dc.replace(cfg, tiles=_dc.replace(
+            cfg.tiles, chunk=cfg.tiles.chunk * 2))
+        budget, kernel_budget, num_windows = measure_budgets_multi(
+            scene, cameras, cfg)
     import logging
     logging.getLogger(__name__).info(
-        "visibility sweep: %d views at %dx%d, budget=%d kernel=%d windows=%d",
-        len(cameras), w, h, budget, kernel_budget, num_windows)
+        "visibility sweep: %d views at %dx%d, budget=%d kernel=%d "
+        "windows=%d chunk=%d",
+        len(cameras), w, h, budget, kernel_budget, num_windows,
+        cfg.tiles.chunk)
     v = len(cameras)
     cams = CameraParams(
         rot=jnp.asarray(np.stack([c.rotation for c in cameras]),

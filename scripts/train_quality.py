@@ -101,7 +101,13 @@ def main() -> int:
                          "(the 3DGS 2e-4 default assumes per-view "
                          "accumulation, ~V times larger)")
     ap.add_argument("--lr", type=float, default=7e-3)
-    ap.add_argument("--out", default="TRAIN_r04.json")
+    ap.add_argument("--capacity-factor", type=float, default=4.0,
+                    help="live-set capacity = init * factor")
+    ap.add_argument("--budget-headroom", type=float, default=1.35,
+                    help="slack over the measured instance budget so "
+                         "densification growth between re-pins does not "
+                         "shed instances")
+    ap.add_argument("--out", default="TRAIN_r05.json")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
@@ -164,20 +170,41 @@ def main() -> int:
     from gsplat_tpu.io.synthetic import random_scene
     from gsplat_tpu.models import densify as dz, trainer
     from gsplat_tpu.render.projection import CameraParams
-    from gsplat_tpu.render.tiles import instance_budget
 
     t_train = time.time()
     init = random_scene(args.init, seed=5, extent=1.1,
                         scale_range=(0.03, 0.08))
-    capacity = -(-int(args.init * 4.0) // 128) * 128
+    capacity = -(-int(args.init * args.capacity_factor) // 128) * 128
     params0, labels = dz.pad_to_capacity(
         trainer.SceneParams.from_scene(init), jnp.asarray(init.labels),
         capacity)
-    budget = instance_budget(capacity, DEFAULT.tiles.chunk, 10.0)
-    step = trainer.make_adaptive_multiview_train_step(
-        (args.width, args.height), DEFAULT, lr=args.lr,
-        lr_final=args.lr / 20.0, decay_steps=args.iters, budget=budget,
-        loss="l2")
+
+    # MEASURED budgets, re-pinned as densification grows the live set
+    # (VERDICT r4 task 6: exercise re-bucketing — the old fixed
+    # budget_factor=10 heuristic oversized the kernel grid ~4x at scale).
+    # Dead capacity slots are invalid at projection, so measuring on the
+    # padded scene tracks exactly the LIVE set.
+    from gsplat_tpu.render.tiles import bucket_budget
+
+    repin_events = []
+
+    def measure(scene_now):
+        bu, kbu, nwu = measure_budgets_multi(scene_now, train_cams, DEFAULT)
+        hr = args.budget_headroom
+        return (bucket_budget(int(bu * hr), DEFAULT.tiles.chunk),
+                bucket_budget(int(kbu * hr), DEFAULT.tiles.chunk),
+                bucket_budget(int(nwu * hr), 8))
+
+    def build_step(bu, kbu, nwu):
+        return trainer.make_adaptive_multiview_train_step(
+            (args.width, args.height), DEFAULT, lr=args.lr,
+            lr_final=args.lr / 20.0, decay_steps=args.iters, budget=bu,
+            kernel_budget=kbu, num_windows=nwu, loss="l2")
+
+    bu, kbu, nwu = measure(params0.to_scene(labels))
+    step = build_step(bu, kbu, nwu)
+    print(f"initial budgets: {bu} kernel={kbu} windows={nwu}",
+          file=sys.stderr)
     state = trainer.init_state(params0.to_scene(labels), lr=args.lr,
                                lr_final=args.lr / 20.0,
                                decay_steps=args.iters)
@@ -190,9 +217,31 @@ def main() -> int:
     key = jax.random.PRNGKey(0)
     densify_until = int(0.6 * args.iters)
     nd = 0
+
+    def repin(it, trigger):
+        nonlocal bu, kbu, nwu, step
+        nb, nkb, nnw = measure(state.params.to_scene(labels))
+        if (nb, nkb, nnw) != (bu, kbu, nwu):
+            repin_events.append(dict(
+                iter=it, trigger=trigger,
+                old=dict(budget=bu, kernel_budget=kbu, num_windows=nwu),
+                new=dict(budget=nb, kernel_budget=nkb, num_windows=nnw)))
+            print(f"re-pin at it {it} ({trigger}): budget {bu}->{nb} "
+                  f"kernel {kbu}->{nkb} windows {nwu}->{nnw}",
+                  file=sys.stderr)
+            bu, kbu, nwu = nb, nkb, nnw
+            step = build_step(bu, kbu, nwu)
+
     for it in range(args.iters):
         state, stats, loss, nd = step(state, stats, labels, camsb, targets,
                                       bg)
+        if int(nd) > 0:
+            # the dropped step's gradients were biased: re-pin to the
+            # grown live set and RE-RUN the step at full coverage
+            repin(it, f"num_dropped={int(nd)}")
+            state, stats, loss, nd = step(state, stats, labels, camsb,
+                                          targets, bg)
+            assert int(nd) == 0, f"re-pinned step still dropped {int(nd)}"
         if (args.densify_every and it > 0 and it < densify_until
                 and it % args.densify_every == 0):
             key, sub = jax.random.split(key)
@@ -201,6 +250,7 @@ def main() -> int:
                 dz.DensifyConfig(grad_threshold=args.grad_threshold))
             opt_state = trainer.zero_adam_rows(state.opt_state, written)
             state = trainer.TrainState(new_params, opt_state, state.step)
+            repin(it, "densify")
         if it % 250 == 0 or it == args.iters - 1:
             print(f"it {it}: loss {float(loss):.5f} "
                   f"alive {int(dz.num_alive(state.params))} "
@@ -253,7 +303,10 @@ def main() -> int:
                  iters=args.iters, loss="l2",
                  step="make_adaptive_multiview_train_step", lr=args.lr,
                  densify_every=args.densify_every,
-                 train_wall_s=round(train_s, 1)),
+                 train_wall_s=round(train_s, 1),
+                 budget_repin_events=repin_events,
+                 final_budgets=dict(budget=bu, kernel_budget=kbu,
+                                    num_windows=nwu)),
         held_out=per_view,
         mean_psnr_db=mean_psnr,
         mean_ssim=mean_ssim,
