@@ -438,3 +438,25 @@ def test_sharded_adaptive_multiview_step(mesh, camera):
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
     assert float(jnp.max(stats.grad_accum)) > 0.0
+
+
+def test_measure_budgets_sharded_nondivisible(mesh, camera):
+    """Scene size not divisible by D: the capacity measurement must pad the
+    overlap mask to shard_scene's layout (ADVICE r4 #4) so the a2a exchange
+    at measured capacity still drops nothing."""
+    from gsplat_tpu.parallel.render_sharded import measure_budgets_sharded
+
+    scene = random_scene(250, seed=51, num_labels=4)  # 250 % 8 != 0
+    camp = CameraParams.from_camera(camera)
+    b, kb, nw, cap = measure_budgets_sharded(
+        scene, camp, width=camera.width, height=camera.height, cfg=CFG,
+        num_devices=8)
+    sharded = mesh_lib.shard_scene(scene, mesh)   # pads to 256
+    img, nd = render_sharded(
+        sharded, camp, mesh, width=camera.width, height=camera.height,
+        cfg=CFG, budget_per_device=b, kernel_budget_per_device=kb,
+        num_windows_per_device=nw, interpret=True, with_dropped=True,
+        exchange_capacity=cap)
+    assert int(nd) == 0
+    ref = np.asarray(render(scene, camera, CFG)["image"])
+    assert np.abs(np.asarray(img)[:camera.height] - ref).max() < 5e-3

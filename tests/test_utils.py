@@ -101,3 +101,37 @@ def test_multiview_train_step_decreases_loss():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_cumsum_rows_matches_jnp():
+    """blend_pallas.cumsum_rows (one-HBM-pass blocked scan) vs jnp.cumsum,
+    including a non-block-multiple row count."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.render.blend_pallas import cumsum_rows
+
+    for b in (64, 1000, 4567):
+        x = jax.random.normal(jax.random.PRNGKey(b), (b, 16), jnp.float32)
+        got = np.asarray(cumsum_rows(x, interpret=True, blk=512))
+        want = np.asarray(jnp.cumsum(x, axis=0))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_eval_sh_soa_matches_packed():
+    """eval_sh_soa (per-channel [N] twin) vs eval_sh at every degree."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.render.sh import eval_sh, eval_sh_soa
+
+    key = jax.random.PRNGKey(0)
+    n = 257
+    sh = jax.random.normal(key, (n, 16, 3), jnp.float32)
+    d = jax.random.normal(jax.random.PRNGKey(1), (n, 3), jnp.float32)
+    dn = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    for deg in (0, 1, 2, 3):
+        want = np.asarray(eval_sh(sh, dn, degree=deg))
+        r, g, b = eval_sh_soa(sh, d[:, 0], d[:, 1], d[:, 2], degree=deg)
+        got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
+        np.testing.assert_allclose(got, want, atol=2e-5, err_msg=f"deg {deg}")
