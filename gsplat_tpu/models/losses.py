@@ -62,13 +62,21 @@ def _blur(img: jax.Array, size: int, sigma: float) -> jax.Array:
 
 def ssim(image: jax.Array, target: jax.Array, *, window: int = 11,
          sigma: float = 1.5) -> jax.Array:
-    """Mean SSIM over an [H, W, C] image pair (values in [0, 1])."""
-    mu_x = _blur(image, window, sigma)
-    mu_y = _blur(target, window, sigma)
+    """Mean SSIM over an [H, W, C] image pair (values in [0, 1]).
+
+    Border windows are renormalized by the blurred-ones mass (SAME-padded
+    zeros otherwise attenuate border means, driving the local variance
+    estimate negative — observed as per-view SSIM of 1.01 and -0.79 on
+    real renders before this fix)."""
+    m = _blur(jnp.ones_like(image[..., :1]), window, sigma)
+    mu_x = _blur(image, window, sigma) / m
+    mu_y = _blur(target, window, sigma) / m
     mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
-    sig_x2 = _blur(image * image, window, sigma) - mu_x2
-    sig_y2 = _blur(target * target, window, sigma) - mu_y2
-    sig_xy = _blur(image * target, window, sigma) - mu_xy
+    sig_x2 = jnp.maximum(_blur(image * image, window, sigma) / m - mu_x2,
+                         0.0)
+    sig_y2 = jnp.maximum(_blur(target * target, window, sigma) / m - mu_y2,
+                         0.0)
+    sig_xy = _blur(image * target, window, sigma) / m - mu_xy
     num = (2.0 * mu_xy + _C1) * (2.0 * sig_xy + _C2)
     den = (mu_x2 + mu_y2 + _C1) * (sig_x2 + sig_y2 + _C2)
     return jnp.mean(num / den)

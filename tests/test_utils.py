@@ -135,3 +135,21 @@ def test_eval_sh_soa_matches_packed():
         r, g, b = eval_sh_soa(sh, d[:, 0], d[:, 1], d[:, 2], degree=deg)
         got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
         np.testing.assert_allclose(got, want, atol=2e-5, err_msg=f"deg {deg}")
+
+
+def test_ssim_stays_in_bounds_at_borders():
+    """SAME-padded SSIM windows previously drove border variance negative
+    (observed per-view SSIM 1.01 and -0.79); the blurred-ones
+    renormalization keeps SSIM within [-1, 1] and exact on self-pairs."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.models.losses import ssim
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (40, 40, 3))
+    assert abs(float(ssim(x, x)) - 1.0) < 1e-5
+    z = jnp.zeros((40, 40, 3)).at[0].set(1.0)   # border-heavy content
+    w = jnp.zeros((40, 40, 3)).at[0].set(0.9)
+    v = float(ssim(z, w))
+    assert -1.0 <= v <= 1.0
+    assert v > 0.9  # nearly identical images
