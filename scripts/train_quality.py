@@ -17,12 +17,12 @@ parameters of:
    scene through the PLY round-trip;
 3. loads the fitted PLY back and evaluates PSNR/SSIM on HELD-OUT views
    (never trained on), asserting zero dropped instances;
-4. writes TRAIN_r04.json (iters, wall time, per-view and mean PSNR/SSIM).
+4. writes TRAIN_r05.json (iters, wall time, re-pin events, per-view and mean PSNR/SSIM).
 
 Done criterion: held-out PSNR >= 28 dB.
 
 Usage: python scripts/train_quality.py   (defaults = the recipe that
-produced the checked-in TRAIN_r04.json: 29.3 dB held-out in ~8 min on chip)
+produced the checked-in r4 artifact; the r5 512x384 gate ran with --width 512 --height 384 --init 20000 --grad-threshold 1e-6 --capacity-factor 5 --iters 4000)
 (~minutes on the TPU chip; runs wherever JAX runs — CPU works but is slow.)
 """
 
